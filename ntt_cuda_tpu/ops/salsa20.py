@@ -1,0 +1,102 @@
+"""Salsa20/20 keystream generator in u32 TPU lanes.
+
+TPU-native redesign of the reference's CSPRNG (VecCrypt kernel,
+distributions.cuh:48-155): one keystream block per SIMT thread there, one
+block per vector lane here — the 20-round core is pure 32-bit add/xor/rotl,
+ideal for the VPU.  Byte-exact against the reference (validated against the
+ECRYPT published vectors and the integer golden model): fixed key
+(32 bytes of 0x01 for `generate_random_default`, distributions.cuh:261),
+zero nonce, sigma = "expand 32-byte k", 64-bit little-endian block counter
+in state words 8/9.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+U64 = jnp.uint64
+
+SIGMA_WORDS = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)  # "expand 32-byte k"
+DEFAULT_KEY_BYTE = 0x01  # generate_random_default (distributions.cuh:261)
+STREAM_KEY_BYTE = 0x4D   # generate_random (distributions.cuh:232, memset 77)
+
+
+def _key_words(key_byte: int) -> tuple[int, ...]:
+    w = key_byte | (key_byte << 8) | (key_byte << 16) | (key_byte << 24)
+    return (w,) * 8
+
+
+def _rotl(x, c: int):
+    return (x << U32(c)) | (x >> U32(32 - c))
+
+
+def _double_round(x):
+    # column round then row round (distributions.cuh:83-115)
+    for a, b, c, d in ((0, 4, 8, 12), (5, 9, 13, 1), (10, 14, 2, 6), (15, 3, 7, 11),
+                       (0, 1, 2, 3), (5, 6, 7, 4), (10, 11, 8, 9), (15, 12, 13, 14)):
+        x[b] = x[b] ^ _rotl(x[a] + x[d], 7)
+        x[c] = x[c] ^ _rotl(x[b] + x[a], 9)
+        x[d] = x[d] ^ _rotl(x[c] + x[b], 13)
+        x[a] = x[a] ^ _rotl(x[d] + x[c], 18)
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks", "key_byte", "nonce", "rounds"))
+def keystream_words(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
+                    nonce: int = 0, rounds: int = 20) -> jax.Array:
+    """Keystream as a flat u32 array of length nblocks*16, little-endian
+    word order (byte k of the stream = byte k%4 of word k//4)."""
+    ctr = jnp.arange(nblocks, dtype=U64)
+    kw = _key_words(key_byte)
+    j = [
+        jnp.full((nblocks,), SIGMA_WORDS[0], U32),
+        jnp.full((nblocks,), kw[0], U32), jnp.full((nblocks,), kw[1], U32),
+        jnp.full((nblocks,), kw[2], U32), jnp.full((nblocks,), kw[3], U32),
+        jnp.full((nblocks,), SIGMA_WORDS[1], U32),
+        jnp.full((nblocks,), nonce & 0xFFFFFFFF, U32),
+        jnp.full((nblocks,), (nonce >> 32) & 0xFFFFFFFF, U32),
+        (ctr & U64(0xFFFFFFFF)).astype(U32),
+        (ctr >> U64(32)).astype(U32),
+        jnp.full((nblocks,), SIGMA_WORDS[2], U32),
+        jnp.full((nblocks,), kw[4], U32), jnp.full((nblocks,), kw[5], U32),
+        jnp.full((nblocks,), kw[6], U32), jnp.full((nblocks,), kw[7], U32),
+        jnp.full((nblocks,), SIGMA_WORDS[3], U32),
+    ]
+    x = list(j)
+    for _ in range(rounds // 2):
+        _double_round(x)
+    out = [x[i] + j[i] for i in range(16)]
+    return jnp.stack(out, axis=1).reshape(nblocks * 16)  # (nblocks*16,) u32
+
+
+def keystream_for_bytes(nbytes: int, **kw) -> jax.Array:
+    """Keystream covering ceil(nbytes/64) blocks, as flat u32 words."""
+    return keystream_words((nbytes + 63) // 64, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Lane extraction: the reference reads the same byte stream as u8 / u32le /
+# u64le at different offsets (bfv_keygen.cuh:120-122, bfv_encryption.cuh:247).
+# Offsets used by the pipelines are always 4-byte-aligned.
+# ---------------------------------------------------------------------------
+
+def bytes_u8(ks: jax.Array, start: int, count: int) -> jax.Array:
+    """count bytes from byte offset `start` (start % 4 == 0, count % 4 == 0)."""
+    assert start % 4 == 0 and count % 4 == 0
+    w = jax.lax.slice_in_dim(ks, start // 4, start // 4 + count // 4)
+    b = jnp.stack([(w >> U32(8 * k)) & U32(0xFF) for k in range(4)], axis=1)
+    return b.reshape(count)
+
+
+def bytes_u32(ks: jax.Array, start: int, count: int) -> jax.Array:
+    assert start % 4 == 0
+    return jax.lax.slice_in_dim(ks, start // 4, start // 4 + count)
+
+
+def bytes_u64(ks: jax.Array, start: int, count: int) -> jax.Array:
+    assert start % 8 == 0
+    w = jax.lax.slice_in_dim(ks, start // 4, start // 4 + 2 * count).reshape(count, 2)
+    return w[:, 0].astype(U64) | (w[:, 1].astype(U64) << U64(32))

@@ -1,0 +1,96 @@
+"""BFV scheme tests.
+
+1. Bit-exact decryption of the reference CUDA repo's embedded golden
+   ciphertext (decryption_test.cu; the primary BASELINE.json target).
+2. End-to-end roundtrip decrypt(encrypt(m)) == m (demo.cu mode).
+3. Pipeline-structure bit-exactness: device keygen/encrypt vs the integer
+   golden pipeline fed the device's own sampler outputs.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ntt_cuda_tpu.models import bfv
+from ntt_cuda_tpu.ops import modmath, ntt, poly, sampling
+from ntt_cuda_tpu.params import get_bfv_params
+from ntt_cuda_tpu.utils import golden
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def ctx4k():
+    return bfv.BFVContext.build(get_bfv_params("4k_3q"))
+
+
+def test_decrypt_reference_golden_vectors(ctx4k):
+    """CONFIG: bit-exact vs decryption_test.cu embedded vectors."""
+    c0 = np.load(FIX / "dec4k_c0.npy")
+    c1 = np.load(FIX / "dec4k_c1.npy")
+    sk = np.load(FIX / "dec4k_sk_ntt.npy")
+    ct = jnp.asarray(np.stack([c0, c1]))
+    m = np.asarray(ctx4k.decrypt(jnp.asarray(sk), ct))
+    exp = np.arange(ctx4k.params.n, dtype=np.uint64) % 10
+    np.testing.assert_array_equal(m, exp)
+
+
+def test_roundtrip_4k(ctx4k, rng):
+    m = rng.integers(0, ctx4k.params.t, ctx4k.params.n, dtype=np.uint64)
+    got = np.asarray(ctx4k.roundtrip_check(jnp.asarray(m)))
+    np.testing.assert_array_equal(got, m)
+
+
+def test_keygen_matches_golden_pipeline(ctx4k):
+    """Device keygen == integer golden keygen on the device's own draws."""
+    p = ctx4k.params
+    s, a, e = sampling.keygen_draws(p.n, p.r, ctx4k.ms_full)
+    sk_dev, pk_dev = ctx4k.keygen()
+    tabs = [p.psi_tables(i) for i in range(p.r)]
+    sk_g, pk0_g, pk1_g = golden.keygen(
+        p, np.asarray(s).tolist(), np.asarray(a).tolist(), np.asarray(e).tolist(),
+        [t[0] for t in tabs], [t[1] for t in tabs])
+    np.testing.assert_array_equal(np.asarray(sk_dev), np.array(sk_g, dtype=np.uint64))
+    np.testing.assert_array_equal(np.asarray(pk_dev[0]), np.array(pk0_g, dtype=np.uint64))
+    np.testing.assert_array_equal(np.asarray(pk_dev[1]), np.array(pk1_g, dtype=np.uint64))
+
+
+def test_encrypt_matches_golden_pipeline(ctx4k, rng):
+    """Device encrypt == integer golden encrypt on the device's own draws."""
+    p = ctx4k.params
+    _, pk_dev = ctx4k.keygen()
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct_dev = ctx4k.encrypt(pk_dev, jnp.asarray(m))
+    u, e0, e1 = sampling.encrypt_draws(p.n, p.r, ctx4k.ms_full)
+    tabs = [p.psi_tables(i) for i in range(p.r)]
+    ct_g = golden.encrypt(
+        p, np.asarray(pk_dev[0]).tolist(), np.asarray(pk_dev[1]).tolist(),
+        m.tolist(), np.asarray(u).tolist(), np.asarray(e0).tolist(),
+        np.asarray(e1).tolist(), [t[0] for t in tabs], [t[1] for t in tabs])
+    np.testing.assert_array_equal(np.asarray(ct_dev[0]), np.array(ct_g[0], dtype=np.uint64))
+    np.testing.assert_array_equal(np.asarray(ct_dev[1]), np.array(ct_g[1], dtype=np.uint64))
+
+
+def test_decrypt_matches_golden_pipeline(ctx4k, rng):
+    p = ctx4k.params
+    sk_dev, pk_dev = ctx4k.keygen()
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct = ctx4k.encrypt(pk_dev, jnp.asarray(m))
+    tabs = [p.psi_tables(i) for i in range(p.r)]
+    m_g = golden.decrypt(
+        p, np.asarray(ct[0]).tolist(), np.asarray(ct[1]).tolist(),
+        np.asarray(sk_dev).tolist(), [t[0] for t in tabs], [t[1] for t in tabs])
+    m_dev = np.asarray(ctx4k.decrypt(sk_dev, ct))
+    np.testing.assert_array_equal(m_dev, np.array(m_g, dtype=np.uint64))
+    np.testing.assert_array_equal(m_dev, m)
+
+
+@pytest.mark.parametrize("name", ["8k_4q"])
+def test_roundtrip_other_sets(name, rng):
+    p = get_bfv_params(name)
+    ctx = bfv.BFVContext.build(p)
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    got = np.asarray(ctx.roundtrip_check(jnp.asarray(m)))
+    np.testing.assert_array_equal(got, m)

@@ -1,0 +1,112 @@
+"""Salsa20 keystream + sampler tests.
+
+Keystream is asserted byte-exact against the integer golden (itself
+validated against the published ECRYPT vector); ternary/uniform samplers
+are exact-integer; the Gaussian sampler gets the reference's statistical
+treatment (keygen_test.cu histogram) plus clamp/truncation checks.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ntt_cuda_tpu.ops import modmath, salsa20, sampling
+from ntt_cuda_tpu.params import get_bfv_params
+from ntt_cuda_tpu.utils import golden
+
+
+def _ks_bytes(ks_words: np.ndarray) -> np.ndarray:
+    w = np.asarray(ks_words, dtype=np.uint32)
+    return np.stack([(w >> (8 * k)) & 0xFF for k in range(4)], axis=1).astype(np.uint8).reshape(-1)
+
+
+def test_keystream_matches_golden():
+    nbytes = 64 * 37
+    got = _ks_bytes(salsa20.keystream_for_bytes(nbytes))
+    exp = golden.salsa20_keystream(nbytes)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_keystream_ecrypt_vector():
+    """Salsa20/20 256-bit ECRYPT Set-1 vector #0, via the device path."""
+    # key = 0x80 00...00 can't be expressed as a repeated byte; check the
+    # repeated-byte path against golden instead, and the golden core holds
+    # the ECRYPT identity (validated in its own right).
+    got = _ks_bytes(salsa20.keystream_words(2, key_byte=0x4D))
+    exp = golden.salsa20_keystream(128, key=b"\x4d" * 32)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_lane_extraction():
+    ks = salsa20.keystream_for_bytes(4096)
+    raw = _ks_bytes(ks)
+    u8 = np.asarray(salsa20.bytes_u8(ks, 64, 256))
+    np.testing.assert_array_equal(u8, raw[64:320])
+    u32 = np.asarray(salsa20.bytes_u32(ks, 128, 16))
+    np.testing.assert_array_equal(u32, raw[128:128 + 64].view(np.uint32))
+    u64 = np.asarray(salsa20.bytes_u64(ks, 256, 8))
+    np.testing.assert_array_equal(u64, raw[256:256 + 64].view(np.uint64))
+
+
+def test_ternary_exact():
+    p = get_bfv_params("4k_3q")
+    ms = modmath.modulus_set(p)
+    b = np.arange(256, dtype=np.uint8)
+    got = np.asarray(sampling.ternary(jnp.asarray(b), ms))
+    for i, q in enumerate(p.q):
+        exp = golden.ternary_from_bytes(b, q)
+        np.testing.assert_array_equal(got[i], np.array(exp, dtype=np.uint64))
+    # quirk: byte 255 -> 2
+    assert got[0][255] == 2
+    assert got[0][0] == p.q[0] - 1
+    assert got[0][85] == 0
+    assert got[0][170] == 1
+
+
+def test_uniform_exact(rng):
+    p = get_bfv_params("4k_3q")
+    ms = modmath.modulus_set(p)
+    u = rng.integers(0, 1 << 64, (p.r, 64), dtype=np.uint64)
+    got = np.asarray(sampling.uniform(jnp.asarray(u), ms))
+    for i, q in enumerate(p.q):
+        exp = golden.uniform_from_u64(u[i], q)
+        np.testing.assert_array_equal(got[i], np.array(exp, dtype=np.uint64))
+        assert got[i].max() < q
+
+
+def test_gaussian_stats(rng):
+    """Statistical check in the spirit of keygen_test.cu: sigma=3.2 discrete
+    Gaussian, clamped +-19.2, centered."""
+    p = get_bfv_params("4k_3q")
+    ms = modmath.modulus_set(p)
+    u = rng.integers(0, 1 << 32, 1 << 16, dtype=np.uint32)
+    got = np.asarray(sampling.gaussian(jnp.asarray(u), ms))
+    q0 = p.q[0]
+    signed = np.where(got[0] > q0 // 2, got[0].astype(np.int64) - q0, got[0].astype(np.int64))
+    assert abs(signed.mean()) < 0.1
+    # continuous sigma is 3.2 but the reference's int() truncation toward
+    # zero shrinks the discrete std to ~2.8
+    assert 2.6 < signed.std() < 3.2
+    assert signed.min() >= -19 and signed.max() <= 19
+    # same draw broadcast across moduli
+    for i in range(1, p.r):
+        signed_i = np.where(got[i] > p.q[i] // 2, got[i].astype(np.int64) - p.q[i],
+                            got[i].astype(np.int64))
+        np.testing.assert_array_equal(signed, signed_i)
+
+
+def test_keygen_draw_layout():
+    """Byte-consumption layout equals the reference's offsets
+    (bfv_keygen.cuh:120-122)."""
+    p = get_bfv_params("4k_3q")
+    n, r = p.n, p.r
+    ms = modmath.modulus_set(p)
+    s, a, e = sampling.keygen_draws(n, r, ms)
+    assert s.shape == (r, n) and a.shape == (r, n) and e.shape == (r, n)
+    ks = golden.salsa20_keystream(sampling.keygen_entropy_bytes(n, r))
+    exp_s = golden.ternary_from_bytes(ks[:n], p.q[0])
+    np.testing.assert_array_equal(np.asarray(s[0]), np.array(exp_s, dtype=np.uint64))
+    u64s = ks[n : n + 8 * r * n].view(np.uint64).reshape(r, n)
+    for i in range(r):
+        exp_a = golden.uniform_from_u64(u64s[i], p.q[i])
+        np.testing.assert_array_equal(np.asarray(a[i]), np.array(exp_a, dtype=np.uint64))
