@@ -1,0 +1,102 @@
+"""RNS-axis data parallelism for the BFV pipelines via pjit/GSPMD.
+
+The reference batches RNS moduli over CUDA grid-y (ntt_60bit.cuh:388-697);
+multi-chip, the modulus axis becomes a mesh axis.  Because the BFV
+pipelines in models/bfv.py are plain jnp over (..., r, n) tensors, simply
+placing the operands with a NamedSharding P(..., 'rns', None) and calling
+the existing jitted functions lets GSPMD partition them: per-modulus work
+(NTT, dyadic, samplers) stays local, and XLA inserts exactly two
+collectives — the last-residue broadcast in divide_and_round_q_last and
+the BEHZ reduction over moduli in fast_convert_and_round — on the 'rns'
+axis, matching the communication structure identified in SURVEY.md §2.2.
+
+This module provides placement helpers and a sharded context wrapper.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import bfv
+from ..params import BFVParams
+from . import mesh as mesh_mod
+
+
+def _put(tree, sharding):
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedBFVContext:
+    """A BFVContext whose constant bundles live sharded over the 'rns' axis
+    (coefficient axis replicated; use parallel/sharded.py for 'coef').
+
+    Keys/ciphertexts produced by this context are sharded P('rns', None) /
+    P(None, 'rns', None); all three pipelines run under GSPMD.
+    """
+
+    inner: bfv.BFVContext
+    mesh: Mesh
+
+    @staticmethod
+    def build(params: BFVParams, mesh: Mesh) -> "ShardedBFVContext":
+        ctx = bfv.BFVContext.build(params)
+        rns = mesh_mod.RNS_AXIS
+        rns_size = mesh.shape[rns]
+        const = NamedSharding(mesh, P(rns, None))
+        repl = NamedSharding(mesh, P())
+
+        # r and r-1 cannot both be divisible by the rns axis, so shard the
+        # r-row bundles (where the keygen/encrypt NTT work lives) when
+        # divisible and replicate the (r-1)-row tail constants — the
+        # divide-and-round / decrypt tail is elementwise-cheap, and GSPMD
+        # reshards the activations at the slice.
+        full_sh = const if params.r % rns_size == 0 else repl
+        drop_sh = const if (params.r - 1) % rns_size == 0 else repl
+        ctx = dataclasses.replace(
+            ctx,
+            ms_full=_put(ctx.ms_full, full_sh),
+            ms_drop=_put(ctx.ms_drop, drop_sh),
+            ms_last=_put(ctx.ms_last, repl),
+            tables_full=_put(ctx.tables_full, full_sh),
+            tables_drop=_put(ctx.tables_drop, drop_sh),
+            dr_consts=dataclasses.replace(
+                _put(ctx.dr_consts, drop_sh), half=jax.device_put(ctx.dr_consts.half, repl)),
+            msg_consts=_put(ctx.msg_consts, drop_sh),
+            dec_consts=dataclasses.replace(
+                _put(ctx.dec_consts, drop_sh),
+                gamma=jax.device_put(ctx.dec_consts.gamma, repl),
+                gamma_qinv_neg=jax.device_put(ctx.dec_consts.gamma_qinv_neg, repl),
+                gamma_div_2=jax.device_put(ctx.dec_consts.gamma_div_2, repl),
+                neg_g_mont=jax.device_put(ctx.dec_consts.neg_g_mont, repl),
+            ),
+        )
+        return ShardedBFVContext(inner=ctx, mesh=mesh)
+
+    # Sharding constructors for user-held tensors.
+    def key_sharding(self):
+        p = self.inner.params
+        rns_size = self.mesh.shape[mesh_mod.RNS_AXIS]
+        spec = P(mesh_mod.RNS_AXIS, None) if p.r % rns_size == 0 else P()
+        return NamedSharding(self.mesh, spec)
+
+    def ct_sharding(self):
+        p = self.inner.params
+        rns_size = self.mesh.shape[mesh_mod.RNS_AXIS]
+        spec = (P(None, mesh_mod.RNS_AXIS, None)
+                if (p.r - 1) % rns_size == 0 else P())
+        return NamedSharding(self.mesh, spec)
+
+    def keygen(self):
+        return self.inner.keygen()
+
+    def encrypt(self, pk, m_poly):
+        return self.inner.encrypt(pk, m_poly)
+
+    def decrypt(self, sk, ct):
+        return self.inner.decrypt(
+            jax.device_put(sk, self.key_sharding())[: self.inner.params.r - 1],
+            jax.device_put(ct, self.ct_sharding()))

@@ -1,0 +1,97 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh.
+
+The distributed-correctness contract (SURVEY.md §4): sharded paths must be
+bit-exact equal to the single-chip outputs — the single-device result is
+itself the fixture.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ntt_cuda_tpu.models import bfv
+from ntt_cuda_tpu.ops import modmath, ntt
+from ntt_cuda_tpu.parallel import mesh as mesh_mod, rns as rns_mod, sharded
+from ntt_cuda_tpu.params import get_bfv_params, get_params
+from ntt_cuda_tpu.utils import primegen
+
+
+requires_8dev = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@requires_8dev
+@pytest.mark.parametrize("rns,coef", [(1, 8), (2, 4), (1, 2), (2, 1)])
+def test_sharded_ntt_bitexact(rng, rns, coef):
+    """Coefficient-sharded forward/inverse == single-chip, any mesh shape."""
+    p = primegen.make_bfv_params(1024, 30, max(rns * 2, 2))
+    n, r = p.n, p.r
+    tables = ntt.tables_for(p)
+    ms = modmath.modulus_set(p)
+    x = np.stack([rng.integers(0, p.q[i], n, dtype=np.uint64) for i in range(r)])
+    ref_f = np.asarray(ntt.ntt_forward_jit(jnp.asarray(x), tables, ms))
+
+    m = mesh_mod.make_mesh(rns=rns, coef=coef)
+    fwd = sharded.sharded_ntt_forward(m, n)
+    inv = sharded.sharded_ntt_inverse(m, n)
+    xs = jax.device_put(jnp.asarray(x), mesh_mod.residue_sharding(m, shard_coef=True))
+    tab_f = jax.device_put(tables.psi_mont, mesh_mod.table_sharding(m))
+    tab_i = jax.device_put(tables.psiinv_mont, mesh_mod.table_sharding(m))
+    q = jax.device_put(ms.q, mesh_mod.const_sharding(m))
+    qi = jax.device_put(ms.qinv_neg, mesh_mod.const_sharding(m))
+
+    got_f = np.asarray(fwd(xs, tab_f, q, qi))
+    np.testing.assert_array_equal(got_f, ref_f)
+
+    got_rt = np.asarray(inv(fwd(xs, tab_f, q, qi), tab_i, q, qi))
+    np.testing.assert_array_equal(got_rt, x)
+
+
+@requires_8dev
+def test_sharded_ntt_bitexact_60bit_large(rng):
+    """60-bit family at n=2^15 on an 8-way coefficient shard."""
+    q, psi, _, _, _ = get_params(32768)
+    tables = ntt.NTTTables.build([q], [psi], 32768)
+    ms = modmath.ModulusSet.from_moduli([q])
+    x = rng.integers(0, q, 32768, dtype=np.uint64)[None, :]
+    ref = np.asarray(ntt.ntt_forward_jit(jnp.asarray(x), tables, ms))
+
+    m = mesh_mod.make_mesh(rns=1, coef=8)
+    fwd = sharded.sharded_ntt_forward(m, 32768)
+    xs = jax.device_put(jnp.asarray(x), mesh_mod.residue_sharding(m, shard_coef=True))
+    got = np.asarray(fwd(xs,
+                         jax.device_put(tables.psi_mont, mesh_mod.table_sharding(m)),
+                         jax.device_put(ms.q, mesh_mod.const_sharding(m)),
+                         jax.device_put(ms.qinv_neg, mesh_mod.const_sharding(m))))
+    np.testing.assert_array_equal(got, ref)
+
+
+@requires_8dev
+def test_rns_sharded_bfv_pipeline(rng):
+    """GSPMD rns-axis sharding of keygen/encrypt (r=4 over rns=2) matches
+    the unsharded pipeline bit-exactly; decrypt runs rns-replicated."""
+    p = get_bfv_params("8k_4q")
+    ctx = bfv.BFVContext.build(p)
+    sk_ref, pk_ref = ctx.keygen()
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct_ref = ctx.encrypt(pk_ref, jnp.asarray(m))
+
+    mesh = mesh_mod.make_mesh(rns=2, coef=4)
+    sctx = rns_mod.ShardedBFVContext.build(p, mesh)
+    sk_s, pk_s = sctx.keygen()
+    np.testing.assert_array_equal(np.asarray(sk_s), np.asarray(sk_ref))
+    np.testing.assert_array_equal(np.asarray(pk_s), np.asarray(pk_ref))
+    ct_s = sctx.encrypt(pk_s, jnp.asarray(m))
+    np.testing.assert_array_equal(np.asarray(ct_s), np.asarray(ct_ref))
+    got = np.asarray(ctx.decrypt(sk_s, ct_s))
+    np.testing.assert_array_equal(got, m)
+
+
+def test_primegen_params_roundtrip(rng):
+    p = primegen.make_bfv_params(512, 28, 4)
+    assert all(q % (2 * p.n) == 1 for q in p.q)
+    ctx = bfv.BFVContext.build(p)
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    got = np.asarray(ctx.roundtrip_check(jnp.asarray(m)))
+    np.testing.assert_array_equal(got, m)
