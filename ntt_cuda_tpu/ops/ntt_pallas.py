@@ -1,0 +1,400 @@
+"""Fused four-step negacyclic NTT/INTT Pallas kernels (the TPU hot path).
+
+This is the TPU re-design of the reference's D5 "hybrid" kernel
+(CTBasedNTTInnerSingle + multi-kernel stages, ntt_60bit.cuh:63-386).
+Where the GPU splits stages between global-memory launches and a
+shared-memory fused kernel, here the whole transform runs in one Pallas
+kernel with the polynomial resident in VMEM, decomposed four-step style
+(n = n1 x 128) so every stage is vector-shaped:
+
+* stage A  — log2(n1) Cooley-Tukey stages over the SUBLANE axis
+  (row-pair butterflies; reshapes are free regroupings), a merged
+  negacyclic length-n1 NTT with psi_A = psi^128;
+* twiddle fix — one elementwise multiply by
+  T[k1r, i2] = psi^i2 * psi_B^{-i2} * omega^{i2 * rev(k1r)};
+* stage B  — 7 Gentleman-transposed stages over the LANE axis
+  (pltpu.roll exchanges), a merged negacyclic length-128 NTT with
+  psi_B = psi^(n/128).
+
+Because both sub-transforms use the merged CT-bitrev form, the natural
+row-major output of the (n1, 128) tile IS the reference's bit-reversed
+output — no transposes, no permutations (verified exactly in
+scratch/check_4step.py and tests).  The inverse runs the mirror (lane GS
+stages, inverse twiddle fix, row GS stages) with the reference's lazy
+halving folded per stage.
+
+Arithmetic: u32-limb Shoup multiplication with Harvey lazy [0, 2q)
+representatives (ops/limb32.py); one final conditional subtract
+normalizes to [0, q), bit-identical to the reference.
+
+Twiddles: compact per-modulus tables — (4, n1, 128) for each of stage A /
+fix / inverse variants and (4, 8, 128) for stage B — ~1 MB per 55-bit
+modulus at n = 2^15 vs 8 MB for naive per-stage broadcast tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import hostmath as hm
+from . import limb32
+
+U32 = jnp.uint32
+N2 = 128   # lane-axis transform length
+L2 = 7
+
+
+# ---------------------------------------------------------------------------
+# Host table construction (exact ints).
+# ---------------------------------------------------------------------------
+
+def _shoup(w: int, q: int) -> int:
+    return (w << 64) // q
+
+
+def _plane_pack(vals_2d: np.ndarray, q: int) -> np.ndarray:
+    """(rows, 128) int-object array -> (4, rows, 128) u32 planes
+    [w_lo, w_hi, wp_lo, wp_hi]."""
+    rows, cols = vals_2d.shape
+    w = vals_2d.astype(object)
+    wp = np.empty_like(w)
+    for i in range(rows):
+        for j in range(cols):
+            wp[i, j] = _shoup(int(w[i, j]), q)
+    m32 = (1 << 32) - 1
+    out = np.empty((4, rows, cols), dtype=np.uint32)
+    out[0] = np.vectorize(lambda x: int(x) & m32, otypes=[np.uint32])(w)
+    out[1] = np.vectorize(lambda x: (int(x) >> 32) & m32, otypes=[np.uint32])(w)
+    out[2] = np.vectorize(lambda x: int(x) & m32, otypes=[np.uint32])(wp)
+    out[3] = np.vectorize(lambda x: (int(x) >> 32) & m32, otypes=[np.uint32])(wp)
+    return out
+
+
+def _bitrev_vec(k: int) -> np.ndarray:
+    L = k.bit_length() - 1
+    v = np.arange(k)
+    r = np.zeros(k, dtype=np.int64)
+    for b in range(L):
+        r = (r << 1) | ((v >> b) & 1)
+    return r
+
+
+@functools.lru_cache(maxsize=64)
+def _mod_tables(q: int, psi: int, n: int):
+    """Forward + inverse four-step tables for one modulus (numpy u32)."""
+    n1 = n // N2
+    L1 = n1.bit_length() - 1
+    psiinv = hm.modinv(psi, q)
+    omega = pow(psi, 2, q)
+    psi_A, psi_Ai = pow(psi, N2, q), pow(psiinv, N2, q)
+    psi_B, psi_Bi = pow(psi, n1, q), pow(psiinv, n1, q)
+
+    revA = _bitrev_vec(n1)
+    revB = _bitrev_vec(N2)
+
+    # stage-A tables: row i = tabA[i] replicated across lanes
+    tabA = np.array([pow(psi_A, int(r), q) for r in revA], dtype=object)
+    tabAi = np.array([pow(psi_Ai, int(r), q) for r in revA], dtype=object)
+    ta = _plane_pack(np.broadcast_to(tabA[:, None], (n1, N2)).copy(), q)
+    tai = _plane_pack(np.broadcast_to(tabAi[:, None], (n1, N2)).copy(), q)
+
+    # twiddle-fix tables: T[k1r, i2] = (psi * psi_B^-1 * omega^rev(k1r))^i2
+    base = (psi * psi_Bi) % q
+    tc = np.empty((n1, N2), dtype=object)
+    tci = np.empty((n1, N2), dtype=object)
+    for k1r in range(n1):
+        rowg = (base * pow(omega, int(revA[k1r]), q)) % q
+        rowg_i = hm.modinv(rowg, q)
+        v = 1
+        vi = 1
+        for i2 in range(N2):
+            tc[k1r, i2] = v
+            tci[k1r, i2] = vi
+            v = (v * rowg) % q
+            vi = (vi * rowg_i) % q
+    tc_p = _plane_pack(tc, q)
+    tci_p = _plane_pack(tci, q)
+
+    # stage-B per-stage lane rows: TBS[s][lane] = tabB[2^s + lane // (2*step)]
+    tabB = [pow(psi_B, int(r), q) for r in revB]
+    tabBi = [pow(psi_Bi, int(r), q) for r in revB]
+    tbs = np.empty((8, N2), dtype=object)
+    tbsi = np.empty((8, N2), dtype=object)
+    tbs[:] = 1
+    tbsi[:] = 1
+    for s in range(L2):
+        m = 1 << s
+        step = (N2 // 2) >> s
+        for lane in range(N2):
+            g = lane // (2 * step)
+            tbs[s, lane] = tabB[m + g]
+            tbsi[s, lane] = tabBi[m + g]
+    tb_p = _plane_pack(tbs, q)
+    tbi_p = _plane_pack(tbsi, q)
+
+    q2 = (q + 1) >> 1
+    m32 = (1 << 32) - 1
+    qconst = np.array(
+        [q & m32, q >> 32, (2 * q) & m32, (2 * q) >> 32, q2 & m32, q2 >> 32],
+        dtype=np.uint32)
+    return ta, tc_p, tb_p, tai, tci_p, tbi_p, qconst
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ta", "tc", "tb", "tai", "tci", "tbi", "qconst"],
+    meta_fields=["n", "n1"],
+)
+@dataclasses.dataclass(frozen=True)
+class FourStepTables:
+    ta: jax.Array    # (r, 4, n1, 128)
+    tc: jax.Array    # (r, 4, n1, 128)
+    tb: jax.Array    # (r, 4, 8, 128)
+    tai: jax.Array
+    tci: jax.Array
+    tbi: jax.Array
+    qconst: jax.Array  # (r, 6) u32
+    n: int
+    n1: int
+
+    @staticmethod
+    def build(qs, psis, n: int) -> "FourStepTables":
+        parts = [_mod_tables(int(q), int(p), n) for q, p in zip(qs, psis)]
+        stack = lambda i: jnp.asarray(np.stack([p[i] for p in parts]))
+        return FourStepTables(
+            ta=stack(0), tc=stack(1), tb=stack(2),
+            tai=stack(3), tci=stack(4), tbi=stack(5), qconst=stack(6),
+            n=n, n1=n // N2,
+        )
+
+
+def tables_for(params, count: int | None = None) -> FourStepTables:
+    qs = params.q if count is None else params.q[:count]
+    psis = params.psi if count is None else params.psi[:count]
+    return FourStepTables.build(qs, psis, params.n)
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies.
+# ---------------------------------------------------------------------------
+
+def _roll(x, shift: int, interpret: bool):
+    if interpret:
+        return jnp.roll(x, shift, axis=1)
+    # np.int32: under jax_enable_x64 a Python int lowers to i64, which
+    # tpu.dynamic_rotate rejects.
+    return pltpu.roll(x, np.int32(shift), 1)
+
+
+def _tab_slice(tab_ref, lo, hi):
+    """(w, wp) limb pairs from a (4, rows, 128) plane ref, row range."""
+    w = (tab_ref[0, lo:hi, :], tab_ref[1, lo:hi, :])
+    wp = (tab_ref[2, lo:hi, :], tab_ref[3, lo:hi, :])
+    return w, wp
+
+
+def _stage_a_fwd(x, ta_ref, q, two_q, n1):
+    L1 = n1.bit_length() - 1
+    for s in range(L1):
+        m = 1 << s
+        d = n1 >> (s + 1)
+        xr = tuple(v.reshape(m, 2, d, N2) for v in x)
+        u = tuple(v[:, 0] for v in xr)
+        v_ = tuple(v[:, 1] for v in xr)
+        (w0, w1), (p0, p1) = _tab_slice(ta_ref, m, 2 * m)
+        w = (w0.reshape(m, 1, N2), w1.reshape(m, 1, N2))
+        wp = (p0.reshape(m, 1, N2), p1.reshape(m, 1, N2))
+        t = limb32.shoup_mulmod_lazy(v_, w, wp, q)
+        nu = limb32.reduce_once(limb32.add64(u, t), two_q)
+        nv = limb32.reduce_once(limb32.sub64(limb32.add64(u, two_q), t), two_q)
+        x = tuple(
+            jnp.stack([a, b], axis=1).reshape(n1, N2)
+            for a, b in zip(nu, nv))
+    return x
+
+
+def _stage_a_inv(x, tai_ref, q, two_q, q2, n1):
+    L1 = n1.bit_length() - 1
+    for s in reversed(range(L1)):
+        m = 1 << s
+        d = n1 >> (s + 1)
+        xr = tuple(v.reshape(m, 2, d, N2) for v in x)
+        u = tuple(v[:, 0] for v in xr)
+        v_ = tuple(v[:, 1] for v in xr)
+        (w0, w1), (p0, p1) = _tab_slice(tai_ref, m, 2 * m)
+        w = (w0.reshape(m, 1, N2), w1.reshape(m, 1, N2))
+        wp = (p0.reshape(m, 1, N2), p1.reshape(m, 1, N2))
+        s_ = limb32.reduce_once(limb32.add64(u, v_), two_q)
+        d_ = limb32.reduce_once(limb32.sub64(limb32.add64(u, two_q), v_), two_q)
+        t = limb32.shoup_mulmod_lazy(d_, w, wp, q)
+        nu = limb32.halve_mod64(s_, q2)
+        nv = limb32.halve_mod64(t, q2)
+        x = tuple(
+            jnp.stack([a, b], axis=1).reshape(n1, N2)
+            for a, b in zip(nu, nv))
+    return x
+
+
+def _lane_stage_inputs(x, step: int, lane, interpret: bool):
+    u_mask = (lane & step) == 0
+    partner = tuple(
+        jnp.where(u_mask, _roll(v, N2 - step, interpret), _roll(v, step, interpret))
+        for v in x)
+    v_in = tuple(jnp.where(u_mask, p, s) for p, s in zip(partner, x))
+    u_in = tuple(jnp.where(u_mask, s, p) for p, s in zip(partner, x))
+    return u_mask, u_in, v_in
+
+
+def _stage_b_fwd(x, tb_ref, q, two_q, lane, interpret):
+    for s in range(L2):
+        step = (N2 // 2) >> s
+        u_mask, u_in, v_in = _lane_stage_inputs(x, step, lane, interpret)
+        w = (tb_ref[0, s:s + 1, :], tb_ref[1, s:s + 1, :])
+        wp = (tb_ref[2, s:s + 1, :], tb_ref[3, s:s + 1, :])
+        t = limb32.shoup_mulmod_lazy(v_in, w, wp, q)
+        res_u = limb32.reduce_once(limb32.add64(u_in, t), two_q)
+        res_v = limb32.reduce_once(
+            limb32.sub64(limb32.add64(u_in, two_q), t), two_q)
+        x = limb32.select64(u_mask, res_u, res_v)
+    return x
+
+
+def _stage_b_inv(x, tbi_ref, q, two_q, q2, lane, interpret):
+    for s in reversed(range(L2)):
+        step = (N2 // 2) >> s
+        u_mask, u_in, v_in = _lane_stage_inputs(x, step, lane, interpret)
+        w = (tbi_ref[0, s:s + 1, :], tbi_ref[1, s:s + 1, :])
+        wp = (tbi_ref[2, s:s + 1, :], tbi_ref[3, s:s + 1, :])
+        s_ = limb32.reduce_once(limb32.add64(u_in, v_in), two_q)
+        d_ = limb32.reduce_once(
+            limb32.sub64(limb32.add64(u_in, two_q), v_in), two_q)
+        t = limb32.shoup_mulmod_lazy(d_, w, wp, q)
+        res_u = limb32.halve_mod64(s_, q2)
+        res_v = limb32.halve_mod64(t, q2)
+        x = limb32.select64(u_mask, res_u, res_v)
+    return x
+
+
+def _elementwise_fix(x, tc_ref, q):
+    w = (tc_ref[0], tc_ref[1])
+    wp = (tc_ref[2], tc_ref[3])
+    return limb32.shoup_mulmod_lazy(x, w, wp, q)
+
+
+def _make_kernel(n1: int, inverse: bool, interpret: bool):
+    def kernel(mod_idx_ref, qc_ref, xl_ref, xh_ref, ta_ref, tc_ref, tb_ref,
+               ol_ref, oh_ref):
+        b = pl.program_id(0)
+        mi = mod_idx_ref[b]
+        q = (qc_ref[mi, 0], qc_ref[mi, 1])
+        two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
+        q2 = (qc_ref[mi, 4], qc_ref[mi, 5])
+        x = (xl_ref[0], xh_ref[0])
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        if not inverse:
+            x = _stage_a_fwd(x, ta_ref.at[0], q, two_q, n1)
+            x = _elementwise_fix(x, tc_ref.at[0], q)
+            x = _stage_b_fwd(x, tb_ref.at[0], q, two_q, lane, interpret)
+        else:
+            x = _stage_b_inv(x, tb_ref.at[0], q, two_q, q2, lane, interpret)
+            x = _elementwise_fix(x, tc_ref.at[0], q)
+            x = _stage_a_inv(x, ta_ref.at[0], q, two_q, q2, n1)
+        x = limb32.reduce_once(x, q)  # normalize [0,2q) -> [0,q): bit-exact
+        ol_ref[0] = x[0]
+        oh_ref[0] = x[1]
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _transform(x64, mod_idx, tables: FourStepTables, inverse: bool,
+               interpret: bool):
+    n, n1 = tables.n, tables.n1
+    batch_shape = x64.shape[:-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    x64 = x64.reshape(B, n1, N2)
+    xl, xh = limb32.to_pair(x64)
+
+    ta = tables.tai if inverse else tables.ta
+    tc = tables.tci if inverse else tables.tc
+    tb = tables.tbi if inverse else tables.tb
+
+    z = np.int32(0)  # under jax_enable_x64 a literal 0 traces as i64,
+    # which Mosaic's index-map functions reject
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # mod_idx, qconst
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n1, N2), lambda b, mi, qc: (b, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), lambda b, mi, qc: (b, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n1, N2), lambda b, mi, qc: (mi[b], z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n1, N2), lambda b, mi, qc: (mi[b], z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 8, N2), lambda b, mi, qc: (mi[b], z, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n1, N2), lambda b, mi, qc: (b, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), lambda b, mi, qc: (b, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_kernel(n1, inverse, interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n1, N2), jnp.uint32),
+            jax.ShapeDtypeStruct((B, n1, N2), jnp.uint32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(mod_idx, tables.qconst, xl, xh, ta, tc, tb)
+    out = limb32.from_pair((ol, oh))
+    return out.reshape(batch_shape + (n,))
+
+
+def _default_mod_idx(x_shape, r: int) -> np.ndarray:
+    """Residue-axis index map: x (..., r, n) -> per-poly modulus index,
+    matching the reference's blockIdx.y % division batching."""
+    batch = x_shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    reps = B // r if r and B % r == 0 else None
+    if reps is None:
+        raise ValueError(f"batch {batch} not a multiple of r={r}")
+    return np.tile(np.arange(r, dtype=np.int32), reps)
+
+
+def ntt_forward(x, tables: FourStepTables, mod_idx=None, interpret: bool = False):
+    """Forward negacyclic NTT on the last axis of x (..., r, n) — fused
+    Pallas path.  Bit-exact equal to ops/ntt.ntt_forward."""
+    r = tables.qconst.shape[0]
+    if mod_idx is None:
+        mod_idx = _default_mod_idx(x.shape, r)
+    return _transform(x, jnp.asarray(mod_idx, jnp.int32), tables,
+                      inverse=False, interpret=interpret)
+
+
+def ntt_inverse(x, tables: FourStepTables, mod_idx=None, interpret: bool = False):
+    r = tables.qconst.shape[0]
+    if mod_idx is None:
+        mod_idx = _default_mod_idx(x.shape, r)
+    return _transform(x, jnp.asarray(mod_idx, jnp.int32), tables,
+                      inverse=True, interpret=interpret)
