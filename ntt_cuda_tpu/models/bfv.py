@@ -28,9 +28,30 @@ import jax
 import jax.numpy as jnp
 
 from .. import params as params_mod
-from ..ops import modmath, ntt, poly, sampling
+from ..ops import modmath, ntt, ntt_pallas, poly, sampling
 
 U64 = jnp.uint64
+
+
+def default_backend() -> str:
+    """NTT backend selection: the fused Pallas kernel on TPU, the XLA
+    lowering elsewhere (Pallas TPU kernels don't run on the CPU backend
+    except in interpret mode)."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _fwd(x, tables, ftab, ms, backend: str):
+    if backend == "xla":
+        return ntt.ntt_forward(x, tables, ms)
+    return ntt_pallas.ntt_forward(x, ftab,
+                                  interpret=(backend == "pallas-interpret"))
+
+
+def _inv(x, tables, ftab, ms, backend: str):
+    if backend == "xla":
+        return ntt.ntt_inverse(x, tables, ms)
+    return ntt_pallas.ntt_inverse(x, ftab,
+                                  interpret=(backend == "pallas-interpret"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,9 +71,15 @@ class BFVContext:
     dr_consts: poly.DivideRoundConsts
     msg_consts: poly.MessageConsts
     dec_consts: poly.DecryptConsts
+    backend: str                       # "xla" | "pallas" | "pallas-interpret"
+    ftab_full: ntt_pallas.FourStepTables | None
+    ftab_drop: ntt_pallas.FourStepTables | None
 
     @staticmethod
-    def build(params: params_mod.BFVParams) -> "BFVContext":
+    def build(params: params_mod.BFVParams,
+              backend: str | None = None) -> "BFVContext":
+        backend = backend or default_backend()
+        use_pallas = backend != "xla"
         return BFVContext(
             params=params,
             ms_full=modmath.modulus_set(params),
@@ -63,28 +90,33 @@ class BFVContext:
             dr_consts=poly.DivideRoundConsts.build(params),
             msg_consts=poly.MessageConsts.build(params),
             dec_consts=poly.DecryptConsts.build(params),
+            backend=backend,
+            ftab_full=ntt_pallas.tables_for(params) if use_pallas else None,
+            ftab_drop=(ntt_pallas.tables_for(params, params.r - 1)
+                       if use_pallas else None),
         )
 
     # -- public API ---------------------------------------------------------
 
     def keygen(self):
         """-> (sk (r, n), pk (2, r, n)), both NTT-domain."""
-        return _keygen_jit(self.ms_full, self.tables_full,
-                           self.params.n, self.params.r)
+        return _keygen_jit(self.ms_full, self.tables_full, self.ftab_full,
+                           self.params.n, self.params.r, self.backend)
 
     def encrypt(self, pk, m_poly):
         """pk (2, r, n) NTT-domain, m_poly (n,) in [0, t) ->
         ciphertext (2, r-1, n), coefficient domain."""
         return _encrypt_jit(pk, m_poly, self.ms_full, self.ms_drop,
-                            self.ms_last, self.tables_full,
+                            self.ms_last, self.tables_full, self.ftab_full,
                             self.dr_consts, self.msg_consts,
-                            self.params.n, self.params.r)
+                            self.params.n, self.params.r, self.backend)
 
     def decrypt(self, sk, ct):
         """sk (r, n) NTT-domain (first r-1 residues used), ct (2, r-1, n)
         -> plaintext (n,) in [0, t)."""
         return _decrypt_jit(sk[: self.params.r - 1], ct, self.ms_drop,
-                            self.tables_drop, self.dec_consts)
+                            self.tables_drop, self.ftab_drop,
+                            self.dec_consts, self.backend)
 
     def roundtrip_check(self, m_poly):
         """demo.cu-style end-to-end: decrypt(encrypt(m)) (demo.cu:274-311)."""
@@ -97,39 +129,39 @@ class BFVContext:
 # Jitted pipelines (static over (n, r); retraced per parameter set).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n", "r"))
-def _keygen_jit(ms, tables, n: int, r: int):
+@functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
+def _keygen_jit(ms, tables, ftab, n: int, r: int, backend: str):
     """keygen_rns (bfv_keygen.cuh:95-151)."""
     s, a, e = sampling.keygen_draws(n, r, ms)
-    sk = ntt.ntt_forward(s, tables, ms)                 # s kept in NTT domain
+    sk = _fwd(s, tables, ftab, ms, backend)             # s kept in NTT domain
     pk0 = ntt.dyadic_mul(a, sk, ms)                     # a (.) s-hat
-    pk0 = ntt.ntt_inverse(pk0, tables, ms)
+    pk0 = _inv(pk0, tables, ftab, ms, backend)
     pk0 = poly.poly_add_negate(pk0, e, ms)              # -(a*s + e)
-    pk0 = ntt.ntt_forward(pk0, tables, ms)
+    pk0 = _fwd(pk0, tables, ftab, ms, backend)
     return sk, jnp.stack([pk0, a])
 
 
-@functools.partial(jax.jit, static_argnames=("n", "r"))
-def _encrypt_jit(pk, m_poly, ms_full, ms_drop, ms_last, tables,
-                 dr_consts, msg_consts, n: int, r: int):
+@functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
+def _encrypt_jit(pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
+                 dr_consts, msg_consts, n: int, r: int, backend: str):
     """encryption_rns (bfv_encryption.cuh:223-290)."""
     u, e0, e1 = sampling.encrypt_draws(n, r, ms_full)
     c = jnp.stack([u, u])                               # (2, r, n)
-    c = ntt.ntt_forward(c, tables, ms_full)
+    c = _fwd(c, tables, ftab, ms_full, backend)
     c = ntt.dyadic_mul(c, pk, ms_full)
-    c = ntt.ntt_inverse(c, tables, ms_full)
+    c = _inv(c, tables, ftab, ms_full, backend)
     c = poly.poly_add(c, jnp.stack([e0, e1]), ms_full)  # `>` quirk preserved
     c = poly.divide_and_round_q_last(c, dr_consts, ms_drop, ms_last)
     c0 = poly.add_message(c[0], m_poly, msg_consts)
     return jnp.stack([c0, c[1]])
 
 
-@jax.jit
-def _decrypt_jit(sk_drop, ct, ms, tables, dec_consts):
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _decrypt_jit(sk_drop, ct, ms, tables, ftab, dec_consts, backend: str):
     """decryption_rns (bfv_decryption.cuh:76-138)."""
-    x = ntt.ntt_forward(ct[1], tables, ms)
+    x = _fwd(ct[1], tables, ftab, ms, backend)
     x = ntt.dyadic_mul(x, sk_drop, ms)
-    x = ntt.ntt_inverse(x, tables, ms)
+    x = _inv(x, tables, ftab, ms, backend)
     x = poly.poly_add(x, ct[0], ms)                     # poly_add_xq_d `>` quirk
     x = poly.poly_mul_scalar_mont(x, dec_consts.prod_t_gamma_mont, ms)
     x = poly.poly_mul_scalar_mont(x, dec_consts.inv_punctured_mont, ms)

@@ -94,3 +94,21 @@ def test_roundtrip_other_sets(name, rng):
     m = rng.integers(0, p.t, p.n, dtype=np.uint64)
     got = np.asarray(ctx.roundtrip_check(jnp.asarray(m)))
     np.testing.assert_array_equal(got, m)
+
+
+def test_pallas_backend_bitexact(ctx4k, rng):
+    """The fused Pallas NTT backend produces bit-identical keygen /
+    encrypt / decrypt results to the XLA backend (interpret mode on CPU;
+    on TPU the same kernel runs compiled)."""
+    p = ctx4k.params
+    ctxp = bfv.BFVContext.build(p, backend="pallas-interpret")
+    sk_x, pk_x = ctx4k.keygen()
+    sk_p, pk_p = ctxp.keygen()
+    np.testing.assert_array_equal(np.asarray(sk_p), np.asarray(sk_x))
+    np.testing.assert_array_equal(np.asarray(pk_p), np.asarray(pk_x))
+    m = jnp.asarray(rng.integers(0, p.t, p.n, dtype=np.uint64))
+    ct_x = ctx4k.encrypt(pk_x, m)
+    ct_p = ctxp.encrypt(pk_p, m)
+    np.testing.assert_array_equal(np.asarray(ct_p), np.asarray(ct_x))
+    out = ctxp.decrypt(sk_p, ct_p)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(m))
