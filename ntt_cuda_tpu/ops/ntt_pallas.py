@@ -62,6 +62,11 @@ def _shoup(w: int, q: int) -> int:
 def _plane_pack(vals_2d: np.ndarray, q: int) -> np.ndarray:
     """(rows, 128) int-object array -> (4, rows, 128) u32 planes
     [w_lo, w_hi, wp_lo, wp_hi]."""
+    if q < (1 << 61):
+        from .. import native
+        if native.available():
+            v = np.vectorize(int, otypes=[np.uint64])(vals_2d)
+            return native.shoup_planes(v, q)
     rows, cols = vals_2d.shape
     w = vals_2d.astype(object)
     wp = np.empty_like(w)
@@ -109,9 +114,15 @@ def _mod_tables(q: int, psi: int, n: int):
     base = (psi * psi_Bi) % q
     tc = np.empty((n1, N2), dtype=object)
     tci = np.empty((n1, N2), dtype=object)
+    from .. import native
+    use_native = q < (1 << 61) and native.available()
     for k1r in range(n1):
         rowg = (base * pow(omega, int(revA[k1r]), q)) % q
         rowg_i = hm.modinv(rowg, q)
+        if use_native:
+            tc[k1r] = native.geometric_row(rowg, q, N2).astype(object)
+            tci[k1r] = native.geometric_row(rowg_i, q, N2).astype(object)
+            continue
         v = 1
         vi = 1
         for i2 in range(N2):

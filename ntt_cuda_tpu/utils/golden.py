@@ -28,6 +28,12 @@ MASK32 = (1 << 32) - 1
 
 def schoolbook_negacyclic(a, b, q: int, n: int) -> list[int]:
     """O(n^2) negacyclic polynomial product mod q, c[i] -= c[i+n] wraparound."""
+    if q < (1 << 61):
+        from .. import native
+        if native.available():
+            av = np.asarray([int(x) for x in a], dtype=np.uint64)
+            bv = np.asarray([int(x) for x in b], dtype=np.uint64)
+            return [int(x) for x in native.schoolbook_negacyclic(av, bv, q)]
     c = [0] * (2 * n)
     for i in range(n):
         ai = int(a[i])

@@ -89,6 +89,11 @@ def psi_tables(psi: int, psiinv: int, q: int, n: int) -> tuple[list[int], list[i
     what lets the merged negacyclic NTT address its twiddle as
     ``psi_powers[length + psi_step]``.
     """
+    if q < (1 << 61):
+        from .. import native
+        if native.available():
+            return ([int(x) for x in native.fill_bitrev_powers(psi, q, n)],
+                    [int(x) for x in native.fill_bitrev_powers(psiinv, q, n)])
     logn = n.bit_length() - 1
     tbl = [pow(psi, bit_reverse(i, logn), q) for i in range(n)]
     tbl_inv = [pow(psiinv, bit_reverse(i, logn), q) for i in range(n)]
