@@ -98,15 +98,23 @@ class BFVContext:
 
     # -- public API ---------------------------------------------------------
 
-    def keygen(self):
-        """-> (sk (r, n), pk (2, r, n)), both NTT-domain."""
-        return _keygen_jit(self.ms_full, self.tables_full, self.ftab_full,
+    def keygen(self, nonce=0):
+        """-> (sk (r, n), pk (2, r, n)), both NTT-domain.
+
+        `nonce` (int or traced u64) selects the Salsa20 nonce; 0 is the
+        reference's deterministic default."""
+        return _keygen_jit(jnp.asarray(nonce, U64), self.ms_full,
+                           self.tables_full, self.ftab_full,
                            self.params.n, self.params.r, self.backend)
 
-    def encrypt(self, pk, m_poly):
+    def encrypt(self, pk, m_poly, nonce=0):
         """pk (2, r, n) NTT-domain, m_poly (n,) in [0, t) ->
-        ciphertext (2, r-1, n), coefficient domain."""
-        return _encrypt_jit(pk, m_poly, self.ms_full, self.ms_drop,
+        ciphertext (2, r-1, n), coefficient domain.
+
+        Pass a distinct `nonce` per message for fresh (u, e0, e1) draws;
+        nonce 0 reproduces the reference's fixed-randomness pipeline."""
+        return _encrypt_jit(jnp.asarray(nonce, U64), pk, m_poly,
+                            self.ms_full, self.ms_drop,
                             self.ms_last, self.tables_full, self.ftab_full,
                             self.dr_consts, self.msg_consts,
                             self.params.n, self.params.r, self.backend)
@@ -130,9 +138,9 @@ class BFVContext:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
-def _keygen_jit(ms, tables, ftab, n: int, r: int, backend: str):
+def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str):
     """keygen_rns (bfv_keygen.cuh:95-151)."""
-    s, a, e = sampling.keygen_draws(n, r, ms)
+    s, a, e = sampling.keygen_draws(n, r, ms, nonce=nonce)
     sk = _fwd(s, tables, ftab, ms, backend)             # s kept in NTT domain
     pk0 = ntt.dyadic_mul(a, sk, ms)                     # a (.) s-hat
     pk0 = _inv(pk0, tables, ftab, ms, backend)
@@ -142,10 +150,10 @@ def _keygen_jit(ms, tables, ftab, n: int, r: int, backend: str):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
-def _encrypt_jit(pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
+def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
                  dr_consts, msg_consts, n: int, r: int, backend: str):
     """encryption_rns (bfv_encryption.cuh:223-290)."""
-    u, e0, e1 = sampling.encrypt_draws(n, r, ms_full)
+    u, e0, e1 = sampling.encrypt_draws(n, r, ms_full, nonce=nonce)
     c = jnp.stack([u, u])                               # (2, r, n)
     c = _fwd(c, tables, ftab, ms_full, backend)
     c = ntt.dyadic_mul(c, pk, ms_full)

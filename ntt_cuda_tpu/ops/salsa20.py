@@ -44,20 +44,25 @@ def _double_round(x):
         x[a] = x[a] ^ _rotl(x[d] + x[c], 18)
 
 
-@functools.partial(jax.jit, static_argnames=("nblocks", "key_byte", "nonce", "rounds"))
+@functools.partial(jax.jit, static_argnames=("nblocks", "key_byte", "rounds"))
 def keystream_words(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
-                    nonce: int = 0, rounds: int = 20) -> jax.Array:
+                    nonce=0, rounds: int = 20) -> jax.Array:
     """Keystream as a flat u32 array of length nblocks*16, little-endian
-    word order (byte k of the stream = byte k%4 of word k//4)."""
+    word order (byte k of the stream = byte k%4 of word k//4).
+
+    `nonce` may be a Python int or a traced u64 scalar (state words 6/7);
+    the reference always uses 0, but a per-message nonce is how a caller
+    gets fresh encryption randomness under the fixed key."""
     ctr = jnp.arange(nblocks, dtype=U64)
     kw = _key_words(key_byte)
+    nonce = jnp.asarray(nonce, U64)
     j = [
         jnp.full((nblocks,), SIGMA_WORDS[0], U32),
         jnp.full((nblocks,), kw[0], U32), jnp.full((nblocks,), kw[1], U32),
         jnp.full((nblocks,), kw[2], U32), jnp.full((nblocks,), kw[3], U32),
         jnp.full((nblocks,), SIGMA_WORDS[1], U32),
-        jnp.full((nblocks,), nonce & 0xFFFFFFFF, U32),
-        jnp.full((nblocks,), (nonce >> 32) & 0xFFFFFFFF, U32),
+        jnp.broadcast_to((nonce & U64(0xFFFFFFFF)).astype(U32), (nblocks,)),
+        jnp.broadcast_to((nonce >> U64(32)).astype(U32), (nblocks,)),
         (ctr & U64(0xFFFFFFFF)).astype(U32),
         (ctr >> U64(32)).astype(U32),
         jnp.full((nblocks,), SIGMA_WORDS[2], U32),

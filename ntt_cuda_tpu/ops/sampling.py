@@ -93,11 +93,12 @@ def keygen_entropy_bytes(n: int, r: int) -> int:
 
 
 def keygen_draws(n: int, r: int, ms: modmath.ModulusSet,
-                 key_byte: int = salsa20.DEFAULT_KEY_BYTE):
+                 key_byte: int = salsa20.DEFAULT_KEY_BYTE, nonce=0):
     """Sample (s, a, e) for keygen with the reference's byte layout
     (bfv_keygen.cuh:120-122): ternary bytes at 0, uniform u64 lanes at
     byte offset n, gaussian u32 lanes at byte offset n + 8*r*n."""
-    ks = salsa20.keystream_for_bytes(keygen_entropy_bytes(n, r), key_byte=key_byte)
+    ks = salsa20.keystream_for_bytes(keygen_entropy_bytes(n, r),
+                                     key_byte=key_byte, nonce=nonce)
     s = ternary(salsa20.bytes_u8(ks, 0, n), ms)
     a = uniform(salsa20.bytes_u64(ks, n, r * n).reshape(r, n), ms)
     e = gaussian(salsa20.bytes_u32(ks, n + 8 * r * n, n), ms)
@@ -111,11 +112,12 @@ def encrypt_entropy_bytes(n: int) -> int:
 
 
 def encrypt_draws(n: int, r: int, ms: modmath.ModulusSet,
-                  key_byte: int = salsa20.DEFAULT_KEY_BYTE):
+                  key_byte: int = salsa20.DEFAULT_KEY_BYTE, nonce=0):
     """Sample (u, e0, e1) for encryption (convert_ternary_gaussian_x2,
     bfv_encryption.cuh:17-109): ternary bytes at 0, e0 u32 lanes at byte
     offset n, e1 u32 lanes at byte offset 5n."""
-    ks = salsa20.keystream_for_bytes(encrypt_entropy_bytes(n), key_byte=key_byte)
+    ks = salsa20.keystream_for_bytes(encrypt_entropy_bytes(n),
+                                     key_byte=key_byte, nonce=nonce)
     u = ternary(salsa20.bytes_u8(ks, 0, n), ms)
     e0 = gaussian(salsa20.bytes_u32(ks, n, n), ms)
     e1 = gaussian(salsa20.bytes_u32(ks, 5 * n, n), ms)

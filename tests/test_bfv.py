@@ -112,3 +112,25 @@ def test_pallas_backend_bitexact(ctx4k, rng):
     np.testing.assert_array_equal(np.asarray(ct_p), np.asarray(ct_x))
     out = ctxp.decrypt(sk_p, ct_p)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(m))
+
+
+def test_encrypt_nonce_freshness(ctx4k, rng):
+    """Distinct nonces give distinct randomness (fresh u/e draws) and every
+    ciphertext still decrypts; nonce=0 is the reference's deterministic
+    default."""
+    p = ctx4k.params
+    sk, pk = ctx4k.keygen()
+    m = jnp.asarray(rng.integers(0, p.t, p.n, dtype=np.uint64))
+    ct0 = ctx4k.encrypt(pk, m)
+    ct0b = ctx4k.encrypt(pk, m, nonce=0)
+    ct1 = ctx4k.encrypt(pk, m, nonce=1)
+    np.testing.assert_array_equal(np.asarray(ct0b), np.asarray(ct0))
+    assert not np.array_equal(np.asarray(ct1), np.asarray(ct0))
+    np.testing.assert_array_equal(np.asarray(ctx4k.decrypt(sk, ct1)),
+                                  np.asarray(m))
+    # keygen with a fresh nonce also roundtrips
+    sk2, pk2 = ctx4k.keygen(nonce=7)
+    assert not np.array_equal(np.asarray(sk2), np.asarray(sk))
+    ct2 = ctx4k.encrypt(pk2, m, nonce=2)
+    np.testing.assert_array_equal(np.asarray(ctx4k.decrypt(sk2, ct2)),
+                                  np.asarray(m))
