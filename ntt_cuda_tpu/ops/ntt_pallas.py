@@ -231,25 +231,55 @@ def _stage_a_fwd(x, ta_ref, q, two_q, n1):
     return x
 
 
-def _stage_a_inv(x, tai_ref, q, two_q, q2, n1):
+def _roll_rows(x, shift: int, interpret: bool):
+    if interpret:
+        return jnp.roll(x, shift, axis=0)
+    return pltpu.roll(x, np.int32(shift), 0)
+
+
+def _expand_rows(w, m: int, d: int):
+    """(m, N2) per-group twiddle rows -> (n1, N2): row r gets w[r // (2d)]."""
+    return jnp.broadcast_to(w[:, None, :], (m, 2 * d, N2)).reshape(m * 2 * d, N2)
+
+
+def _stage_a_inv(x, tai_ref, q, two_q, q2, n1, row, interpret):
+    """GS row stages in roll+select form.
+
+    The natural mirror of _stage_a_fwd (reshape into (m, 2, d) groups,
+    butterfly the halves, re-interleave) runs its stages in ascending pair
+    distance, which Mosaic compiles ~8x slower than the forward's
+    descending order (measured: 103 us vs 11 us per poly at n1=256 on
+    v5e — the cross-stage interleave patterns defeat its layout
+    propagation).  Instead, mirror the lane-stage technique: every row
+    computes both butterfly outputs on a rolled partner and selects by a
+    row-index mask — 2x the lane arithmetic, but pure sublane rotates for
+    data movement, which the VPU does at full speed in either stage
+    order (measured ~14 us per poly)."""
     L1 = n1.bit_length() - 1
     for s in reversed(range(L1)):
         m = 1 << s
         d = n1 >> (s + 1)
-        xr = tuple(v.reshape(m, 2, d, N2) for v in x)
-        u = tuple(v[:, 0] for v in xr)
-        v_ = tuple(v[:, 1] for v in xr)
+        u_mask = (row & U32(d)) == 0
+        partner = tuple(
+            jnp.where(u_mask, _roll_rows(v, n1 - d, interpret),
+                      _roll_rows(v, d, interpret))
+            for v in x)
+        v_in = tuple(jnp.where(u_mask, p, s_) for p, s_ in zip(partner, x))
+        u_in = tuple(jnp.where(u_mask, s_, p) for p, s_ in zip(partner, x))
         (w0, w1), (p0, p1) = _tab_slice(tai_ref, m, 2 * m)
-        w = (w0.reshape(m, 1, N2), w1.reshape(m, 1, N2))
-        wp = (p0.reshape(m, 1, N2), p1.reshape(m, 1, N2))
-        s_ = limb32.reduce_once(limb32.add64(u, v_), two_q)
-        d_ = limb32.reduce_once(limb32.sub64(limb32.add64(u, two_q), v_), two_q)
-        t = limb32.shoup_mulmod_lazy(d_, w, wp, q)
-        nu = limb32.halve_mod64(s_, q2)
-        nv = limb32.halve_mod64(t, q2)
-        x = tuple(
-            jnp.stack([a, b], axis=1).reshape(n1, N2)
-            for a, b in zip(nu, nv))
+        w = (_expand_rows(w0, m, d), _expand_rows(w1, m, d))
+        wp = (_expand_rows(p0, m, d), _expand_rows(p1, m, d))
+        s_sum = limb32.reduce_once(limb32.add64(u_in, v_in), two_q)
+        d_dif = limb32.reduce_once(
+            limb32.sub64(limb32.add64(u_in, two_q), v_in), two_q)
+        t = limb32.shoup_mulmod_lazy(d_dif, w, wp, q)
+        res_u = limb32.halve_mod64(s_sum, q2)
+        res_v = limb32.halve_mod64(t, q2)
+        x = limb32.select64(u_mask, res_u, res_v)
+        if interpret:
+            # XLA:CPU's fusion pass degenerates (hours) on the composed
+            # roll/select chains; barriers keep interpret-mode tests fast.
+            x = jax.lax.optimization_barrier(x)
     return x
 
 
@@ -290,6 +320,8 @@ def _stage_b_inv(x, tbi_ref, q, two_q, q2, lane, interpret):
         res_u = limb32.halve_mod64(s_, q2)
         res_v = limb32.halve_mod64(t, q2)
         x = limb32.select64(u_mask, res_u, res_v)
+        if interpret:
+            x = jax.lax.optimization_barrier(x)
     return x
 
 
@@ -314,9 +346,10 @@ def _make_kernel(n1: int, inverse: bool, interpret: bool):
             x = _elementwise_fix(x, tc_ref.at[0], q)
             x = _stage_b_fwd(x, tb_ref.at[0], q, two_q, lane, interpret)
         else:
+            row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
             x = _stage_b_inv(x, tb_ref.at[0], q, two_q, q2, lane, interpret)
             x = _elementwise_fix(x, tc_ref.at[0], q)
-            x = _stage_a_inv(x, ta_ref.at[0], q, two_q, q2, n1)
+            x = _stage_a_inv(x, ta_ref.at[0], q, two_q, q2, n1, row, interpret)
         x = limb32.reduce_once(x, q)  # normalize [0,2q) -> [0,q): bit-exact
         ol_ref[0] = x[0]
         oh_ref[0] = x[1]
@@ -378,6 +411,10 @@ def _transform(x64, mod_idx, tables: FourStepTables, inverse: bool,
         interpret=interpret,
         **kwargs,
     )(mod_idx, tables.qconst, xl, xh, ta, tc, tb)
+    if interpret:
+        # XLA:CPU's fusion of the interpret-expanded kernel into the u64
+        # repack consumer degenerates (>10 min compiles); fence it off.
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
     out = limb32.from_pair((ol, oh))
     return out.reshape(batch_shape + (n,))
 
