@@ -29,7 +29,7 @@ def _ctx(args):
     return params, bfv.BFVContext.build(params, backend=args.backend or None)
 
 
-def _phase_times(ctx, params, inner=(8, 64)):
+def _phase_times(ctx, params, inner=None):
     """Per-phase latency in seconds: keygen, encrypt, decrypt.
 
     Each phase chains `inner` data-dependent iterations inside one jit
@@ -43,7 +43,13 @@ def _phase_times(ctx, params, inner=(8, 64)):
     m = jnp.asarray(np.arange(params.n, dtype=np.uint64) % params.t)
     sk, pk = ctx.keygen()
     ct = ctx.encrypt(pk, m)
-    lo, hi = inner
+    if inner is None:
+        # chain length scaled so the slope dwarfs the ~10 ms relay jitter
+        # regardless of per-op cost (small n => cheap ops => longer chains)
+        hi = max(64, (1 << 24) // (params.n * params.r))
+        lo = hi // 8
+    else:
+        lo, hi = inner
     t = jnp.uint64(params.t)
     q0 = jnp.uint64(params.q[0])
 

