@@ -44,6 +44,17 @@ def poly_negate(a, ms: ModulusSet):
     return modmath.negate_mod(a, ms.q)
 
 
+def poly_sub(a, b, ms: ModulusSet):
+    """c = a - b mod q.
+
+    The reference's poly_sub kernel is buggy (it never subtracts b, only
+    conditionally adds q; poly_arithmetic.cuh:167-178) and is unused by
+    its active pipeline.  This is the *correct* subtraction the API
+    implies, not a replication of the bug."""
+    d = a - b
+    return jnp.where(a >= b, d, d + ms.q)
+
+
 def poly_mul_scalar_mont(a, c_mont, ms: ModulusSet):
     """a * c mod q with Montgomery-scaled per-modulus scalar c (r, 1)
     (poly_mul_int_xq_*, bfv_decryption.cuh:25-57)."""

@@ -111,3 +111,19 @@ def test_modulus_set_shapes():
     exp = np.array([[(i * (1 << 40)) % p.q[row] for i in range(row * 8, row * 8 + 8)]
                     for row in range(3)], dtype=np.uint64)
     np.testing.assert_array_equal(np.asarray(y), exp)
+
+
+def test_poly_sub_correct(rng):
+    """poly_sub is the CORRECT subtraction, not the reference's buggy
+    kernel (poly_arithmetic.cuh:167-178 never subtracts b)."""
+    import jax.numpy as jnp
+    from ntt_cuda_tpu.ops import modmath as mm, poly
+    from ntt_cuda_tpu.params import get_bfv_params
+    p = get_bfv_params("4k_3q")
+    ms = mm.modulus_set(p)
+    a = np.stack([rng.integers(0, q, 64, dtype=np.uint64) for q in p.q])
+    b = np.stack([rng.integers(0, q, 64, dtype=np.uint64) for q in p.q])
+    got = np.asarray(poly.poly_sub(jnp.asarray(a), jnp.asarray(b), ms))
+    expect = np.stack([(a[i].astype(object) - b[i].astype(object)) % p.q[i]
+                       for i in range(p.r)]).astype(np.uint64)
+    np.testing.assert_array_equal(got, expect)

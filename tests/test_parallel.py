@@ -95,3 +95,16 @@ def test_primegen_params_roundtrip(rng):
     m = rng.integers(0, p.t, p.n, dtype=np.uint64)
     got = np.asarray(ctx.roundtrip_check(jnp.asarray(m)))
     np.testing.assert_array_equal(got, m)
+
+
+def test_pod_mesh_single_process():
+    """multihost.pod_mesh lays ('rns', 'coef') over all runtime devices
+    (single-process here: 8 virtual CPU devices)."""
+    import jax
+    from ntt_cuda_tpu.parallel import multihost
+    mesh = multihost.pod_mesh()
+    assert mesh.axis_names == ("rns", "coef")
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = multihost.pod_mesh(rns=4, coef=2)
+    assert mesh2.devices.shape == (4, 2)
+    assert multihost.is_coordinator()
