@@ -26,7 +26,14 @@ from . import mesh as mesh_mod
 
 
 def _put(tree, sharding):
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    """device_put a constant bundle; leaves of rank < 2 (per-scheme scalars
+    inside the dataclasses) are replicated — a 2-axis PartitionSpec cannot
+    apply to them."""
+    repl = NamedSharding(sharding.mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, sharding if getattr(x, "ndim", 0) >= 2 else repl),
+        tree)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -108,3 +108,39 @@ def test_pod_mesh_single_process():
     mesh2 = multihost.pod_mesh(rns=4, coef=2)
     assert mesh2.devices.shape == (4, 2)
     assert multihost.is_coordinator()
+
+
+def test_config5_n17_sharded_ntt_and_bfv(rng):
+    """BASELINE.json config 5: N=2^17 NTT + BFV across a sharded mesh.
+
+    No published reference parameters exist at n=2^17; moduli come from
+    the prime generator.  Sharded outputs must equal the single-device
+    XLA path bit-exactly, and the RNS-sharded BFV pipeline must
+    round-trip."""
+    n = 1 << 17
+    params = primegen.make_bfv_params(n, 55, 4)
+
+    # coefficient-sharded NTT vs single-device, one modulus
+    q, psi = params.q[0], params.psi[0]
+    tables = ntt.NTTTables.build([q], [psi], n)
+    ms = modmath.ModulusSet.from_moduli([q])
+    x = rng.integers(0, q, n, dtype=np.uint64)[None, :]
+    ref = np.asarray(ntt.ntt_forward_jit(jnp.asarray(x), tables, ms))
+    m = mesh_mod.make_mesh(rns=1, coef=8)
+    fwd = sharded.sharded_ntt_forward(m, n)
+    xs = jax.device_put(jnp.asarray(x),
+                        mesh_mod.residue_sharding(m, shard_coef=True))
+    got = np.asarray(fwd(
+        xs, jax.device_put(tables.psi_mont, mesh_mod.table_sharding(m)),
+        jax.device_put(ms.q, mesh_mod.const_sharding(m)),
+        jax.device_put(ms.qinv_neg, mesh_mod.const_sharding(m))))
+    np.testing.assert_array_equal(got, ref)
+
+    # RNS-sharded BFV keygen -> encrypt -> decrypt round-trip
+    mesh2 = mesh_mod.make_mesh(rns=2, coef=4)
+    sctx = rns_mod.ShardedBFVContext.build(params, mesh2)
+    sk, pk = sctx.keygen()
+    msg = jnp.asarray(np.arange(n, dtype=np.uint64) % params.t)
+    ct = sctx.encrypt(pk, msg)
+    out = np.asarray(sctx.decrypt(sk, ct))
+    np.testing.assert_array_equal(out, np.asarray(msg))
