@@ -54,6 +54,15 @@ def _inv(x, tables, ftab, ms, backend: str):
                                   interpret=(backend == "pallas-interpret"))
 
 
+def _inv_mul(x, y, tables, ftab, ms, backend: str):
+    """INTT(x (.) y) — fused kernel on the pallas backends (every dyadic
+    multiply in the pipelines feeds an INTT; SURVEY.md §3)."""
+    if backend == "xla":
+        return ntt.ntt_inverse(ntt.dyadic_mul(x, y, ms), tables, ms)
+    return ntt_pallas.ntt_inverse_mul(
+        x, y, ftab, interpret=(backend == "pallas-interpret"))
+
+
 @dataclasses.dataclass(frozen=True)
 class BFVContext:
     """Device-resident constants for one parameter set, plus jitted ops.
@@ -142,8 +151,7 @@ def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str):
     """keygen_rns (bfv_keygen.cuh:95-151)."""
     s, a, e = sampling.keygen_draws(n, r, ms, nonce=nonce)
     sk = _fwd(s, tables, ftab, ms, backend)             # s kept in NTT domain
-    pk0 = ntt.dyadic_mul(a, sk, ms)                     # a (.) s-hat
-    pk0 = _inv(pk0, tables, ftab, ms, backend)
+    pk0 = _inv_mul(a, sk, tables, ftab, ms, backend)    # INTT(a (.) s-hat)
     pk0 = poly.poly_add_negate(pk0, e, ms)              # -(a*s + e)
     pk0 = _fwd(pk0, tables, ftab, ms, backend)
     return sk, jnp.stack([pk0, a])
@@ -156,8 +164,7 @@ def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
     u, e0, e1 = sampling.encrypt_draws(n, r, ms_full, nonce=nonce)
     c = jnp.stack([u, u])                               # (2, r, n)
     c = _fwd(c, tables, ftab, ms_full, backend)
-    c = ntt.dyadic_mul(c, pk, ms_full)
-    c = _inv(c, tables, ftab, ms_full, backend)
+    c = _inv_mul(c, pk, tables, ftab, ms_full, backend)
     c = poly.poly_add(c, jnp.stack([e0, e1]), ms_full)  # `>` quirk preserved
     c = poly.divide_and_round_q_last(c, dr_consts, ms_drop, ms_last)
     c0 = poly.add_message(c[0], m_poly, msg_consts)
@@ -168,8 +175,7 @@ def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
 def _decrypt_jit(sk_drop, ct, ms, tables, ftab, dec_consts, backend: str):
     """decryption_rns (bfv_decryption.cuh:76-138)."""
     x = _fwd(ct[1], tables, ftab, ms, backend)
-    x = ntt.dyadic_mul(x, sk_drop, ms)
-    x = _inv(x, tables, ftab, ms, backend)
+    x = _inv_mul(x, sk_drop, tables, ftab, ms, backend)
     x = poly.poly_add(x, ct[0], ms)                     # poly_add_xq_d `>` quirk
     x = poly.poly_mul_scalar_mont(x, dec_consts.prod_t_gamma_mont, ms)
     x = poly.poly_mul_scalar_mont(x, dec_consts.inv_punctured_mont, ms)

@@ -116,6 +116,23 @@ def halve_mod64(x, q2):
     return select64(odd == 1, add64((r0, r1), q2), (r0, r1))
 
 
+def mont_mul_lazy(a, b, q, qinv_neg):
+    """a * b * 2^-64 mod q in [0, 2q), Montgomery (REDC) on limb pairs.
+
+    a < 2q, b < q, q < 2^62; qinv_neg = -q^-1 mod 2^64.  Used for dyadic
+    (data x data) products where neither operand has a precomputed Shoup
+    quotient; the 2^-64 skew is folded into the consumer's twiddle tables
+    (see ntt_pallas tcir).  t = (a*b + m*q) / 2^64, m = (a*b mod 2^64) *
+    qinv_neg mod 2^64; the discarded low half is 0 or exactly 2^64, so the
+    carry into the high half is (lo(a*b) != 0)."""
+    lo_ab = mullo64(a, b)
+    hi_ab = mulhi64(a, b)
+    m = mullo64(lo_ab, qinv_neg)
+    hi_mq = mulhi64(m, q)
+    carry = ((lo_ab[0] | lo_ab[1]) != 0).astype(U32)
+    return add64(add64(hi_ab, hi_mq), (carry, jnp.zeros_like(carry)))
+
+
 def shoup_mulmod_lazy(v, w, wp, q):
     """v * w mod q in [0, 2q), Shoup/Harvey: w < q fixed,
     wp = floor(w * 2^64 / q), v any u64.

@@ -132,6 +132,11 @@ def _mod_tables(q: int, psi: int, n: int):
             vi = (vi * rowg_i) % q
     tc_p = _plane_pack(tc, q)
     tci_p = _plane_pack(tci, q)
+    # fused-dyadic variant: tci * 2^64 mod q cancels the Montgomery 2^-64
+    # skew of mont_mul_lazy exactly (INTT is linear over Z_q)
+    R = (1 << 64) % q
+    tcir = (tci * R) % q          # object-int arrays: exact
+    tcir_p = _plane_pack(tcir, q)
 
     # stage-B per-stage lane rows: TBS[s][lane] = tabB[2^s + lane // (2*step)]
     tabB = [pow(psi_B, int(r), q) for r in revB]
@@ -151,16 +156,18 @@ def _mod_tables(q: int, psi: int, n: int):
     tbi_p = _plane_pack(tbsi, q)
 
     q2 = (q + 1) >> 1
+    qinv_neg = hm.mont_qinv_neg(q)
     m32 = (1 << 32) - 1
     qconst = np.array(
-        [q & m32, q >> 32, (2 * q) & m32, (2 * q) >> 32, q2 & m32, q2 >> 32],
+        [q & m32, q >> 32, (2 * q) & m32, (2 * q) >> 32, q2 & m32, q2 >> 32,
+         qinv_neg & m32, qinv_neg >> 32],
         dtype=np.uint32)
-    return ta, tc_p, tb_p, tai, tci_p, tbi_p, qconst
+    return ta, tc_p, tb_p, tai, tci_p, tbi_p, qconst, tcir_p
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["ta", "tc", "tb", "tai", "tci", "tbi", "qconst"],
+    data_fields=["ta", "tc", "tb", "tai", "tci", "tbi", "qconst", "tcir"],
     meta_fields=["n", "n1"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -171,7 +178,8 @@ class FourStepTables:
     tai: jax.Array
     tci: jax.Array
     tbi: jax.Array
-    qconst: jax.Array  # (r, 6) u32
+    qconst: jax.Array  # (r, 8) u32: q, 2q, (q+1)/2, -q^-1 mod 2^64 limbs
+    tcir: jax.Array    # (r, 4, n1, 128) — tci * 2^64 mod q (fused dyadic)
     n: int
     n1: int
 
@@ -182,6 +190,7 @@ class FourStepTables:
         return FourStepTables(
             ta=stack(0), tc=stack(1), tb=stack(2),
             tai=stack(3), tci=stack(4), tbi=stack(5), qconst=stack(6),
+            tcir=stack(7),
             n=n, n1=n // N2,
         )
 
@@ -531,3 +540,100 @@ def ntt_forward(x, tables: FourStepTables, mod_idx=None, interpret: bool = False
 
 def ntt_inverse(x, tables: FourStepTables, mod_idx=None, interpret: bool = False):
     return _dispatch(x, tables, mod_idx, inverse=True, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused dyadic-multiply + inverse NTT.
+# ---------------------------------------------------------------------------
+
+def _make_kernel_inv_mul(n1: int, interpret: bool):
+    """INTT(x (.) y) in one kernel.  The dyadic product is a Montgomery
+    multiply (limb32.mont_mul_lazy, result scaled by 2^-64); the inverse
+    twiddle-fix table variant tcir carries the exact 2^64 correction, so
+    the output is bit-identical to dyadic_mul + ntt_inverse.  Every dyadic
+    multiply in the BFV pipelines is immediately followed by an INTT
+    (bfv_keygen.cuh:132-133, bfv_encryption.cuh:270-271,
+    bfv_decryption.cuh:100-101), so this removes all standalone dyadic
+    kernels and one HBM round trip of the operand."""
+    def kernel(qc_ref, xl_ref, xh_ref, yl_ref, yh_ref, ta_ref, tc_ref,
+               tb_ref, ol_ref, oh_ref):
+        mi = pl.program_id(0)
+        q = (qc_ref[mi, 0], qc_ref[mi, 1])
+        two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
+        q2 = (qc_ref[mi, 4], qc_ref[mi, 5])
+        qinv = (qc_ref[mi, 6], qc_ref[mi, 7])
+        x = (xl_ref[0], xh_ref[0])
+        y = (yl_ref[0], yh_ref[0])
+        x = limb32.mont_mul_lazy(x, y, q, qinv)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        x = _stage_b_inv(x, tb_ref.at[0], q, two_q, q2, lane, interpret)
+        x = _elementwise_fix(x, tc_ref.at[0], q)   # tcir: includes 2^64
+        x = _stage_a_inv(x, ta_ref.at[0], q, two_q, q2, n1, row, interpret)
+        x = limb32.reduce_once(x, q)
+        ol_ref[0] = x[0]
+        oh_ref[0] = x[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _transform_inv_mul(x64, y64, tables: FourStepTables, interpret: bool):
+    n, n1 = tables.n, tables.n1
+    r = tables.qconst.shape[0]
+    batch_shape = x64.shape[:-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    J = B // r
+    xl, xh = limb32.to_pair(x64.reshape(B, n1, N2))
+    yl, yh = limb32.to_pair(y64.reshape(B, n1, N2))
+
+    z = np.int32(0)
+    dmap = lambda m, j, qc: (j * np.int32(r) + m, z, z)
+    tmap = lambda m, j, qc: (m, z, z, z)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r, J),
+        in_specs=[
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 8, N2), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+        ],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_kernel_inv_mul(n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n1, N2), jnp.uint32),
+            jax.ShapeDtypeStruct((B, n1, N2), jnp.uint32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(tables.qconst, xl, xh, yl, yh, tables.tai, tables.tcir, tables.tbi)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    out = limb32.from_pair((ol, oh))
+    return out.reshape(batch_shape + (n,))
+
+
+def ntt_inverse_mul(x, y, tables: FourStepTables, interpret: bool = False):
+    """INTT(x (.) y) fused — bit-exact equal to
+    ntt.ntt_inverse(ntt.dyadic_mul(x, y)).  Standard RNS layout only
+    (poly b has modulus b % r); y broadcasts against x's batch dims."""
+    y = jnp.broadcast_to(y, x.shape)
+    r = tables.qconst.shape[0]
+    batch = x.shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    if B % r != 0:
+        raise ValueError(f"batch {batch} not a multiple of r={r}")
+    return _transform_inv_mul(x, y, tables, interpret=interpret)
