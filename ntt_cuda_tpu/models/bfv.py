@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import params as params_mod
-from ..ops import modmath, ntt, ntt_pallas, poly, sampling
+from ..ops import bfv_tail, modmath, ntt, ntt_pallas, poly, sampling
 
 U64 = jnp.uint64
 
@@ -83,6 +83,8 @@ class BFVContext:
     backend: str                       # "xla" | "pallas" | "pallas-interpret"
     ftab_full: ntt_pallas.FourStepTables | None
     ftab_drop: ntt_pallas.FourStepTables | None
+    tail_consts: bfv_tail.TailConsts | None
+    dec_tail_consts: bfv_tail.DecTailConsts | None
 
     @staticmethod
     def build(params: params_mod.BFVParams,
@@ -103,6 +105,9 @@ class BFVContext:
             ftab_full=ntt_pallas.tables_for(params) if use_pallas else None,
             ftab_drop=(ntt_pallas.tables_for(params, params.r - 1)
                        if use_pallas else None),
+            tail_consts=bfv_tail.TailConsts.build(params) if use_pallas else None,
+            dec_tail_consts=(bfv_tail.DecTailConsts.build(params)
+                             if use_pallas else None),
         )
 
     # -- public API ---------------------------------------------------------
@@ -125,7 +130,7 @@ class BFVContext:
         return _encrypt_jit(jnp.asarray(nonce, U64), pk, m_poly,
                             self.ms_full, self.ms_drop,
                             self.ms_last, self.tables_full, self.ftab_full,
-                            self.dr_consts, self.msg_consts,
+                            self.dr_consts, self.msg_consts, self.tail_consts,
                             self.params.n, self.params.r, self.backend)
 
     def decrypt(self, sk, ct):
@@ -133,7 +138,8 @@ class BFVContext:
         -> plaintext (n,) in [0, t)."""
         return _decrypt_jit(sk[: self.params.r - 1], ct, self.ms_drop,
                             self.tables_drop, self.ftab_drop,
-                            self.dec_consts, self.backend)
+                            self.dec_consts, self.dec_tail_consts,
+                            self.backend)
 
     def roundtrip_check(self, m_poly):
         """demo.cu-style end-to-end: decrypt(encrypt(m)) (demo.cu:274-311)."""
@@ -159,24 +165,33 @@ def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str):
 
 @functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
 def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
-                 dr_consts, msg_consts, n: int, r: int, backend: str):
+                 dr_consts, msg_consts, tail_consts, n: int, r: int,
+                 backend: str):
     """encryption_rns (bfv_encryption.cuh:223-290)."""
     u, e0, e1 = sampling.encrypt_draws(n, r, ms_full, nonce=nonce)
     c = jnp.stack([u, u])                               # (2, r, n)
     c = _fwd(c, tables, ftab, ms_full, backend)
     c = _inv_mul(c, pk, tables, ftab, ms_full, backend)
-    c = poly.poly_add(c, jnp.stack([e0, e1]), ms_full)  # `>` quirk preserved
-    c = poly.divide_and_round_q_last(c, dr_consts, ms_drop, ms_last)
-    c0 = poly.add_message(c[0], m_poly, msg_consts)
-    return jnp.stack([c0, c[1]])
+    e = jnp.stack([e0, e1])
+    if backend == "xla":
+        c = poly.poly_add(c, e, ms_full)                # `>` quirk preserved
+        c = poly.divide_and_round_q_last(c, dr_consts, ms_drop, ms_last)
+        c0 = poly.add_message(c[0], m_poly, msg_consts)
+        return jnp.stack([c0, c[1]])
+    return bfv_tail.encrypt_tail(c, e, m_poly.astype(U64), tail_consts,
+                                 interpret=(backend == "pallas-interpret"))
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))
-def _decrypt_jit(sk_drop, ct, ms, tables, ftab, dec_consts, backend: str):
+def _decrypt_jit(sk_drop, ct, ms, tables, ftab, dec_consts, dec_tail_consts,
+                 backend: str):
     """decryption_rns (bfv_decryption.cuh:76-138)."""
     x = _fwd(ct[1], tables, ftab, ms, backend)
     x = _inv_mul(x, sk_drop, tables, ftab, ms, backend)
-    x = poly.poly_add(x, ct[0], ms)                     # poly_add_xq_d `>` quirk
-    x = poly.poly_mul_scalar_mont(x, dec_consts.prod_t_gamma_mont, ms)
-    x = poly.poly_mul_scalar_mont(x, dec_consts.inv_punctured_mont, ms)
-    return poly.fast_convert_and_round(x, dec_consts)
+    if backend == "xla":
+        x = poly.poly_add(x, ct[0], ms)                 # poly_add_xq_d `>` quirk
+        x = poly.poly_mul_scalar_mont(x, dec_consts.prod_t_gamma_mont, ms)
+        x = poly.poly_mul_scalar_mont(x, dec_consts.inv_punctured_mont, ms)
+        return poly.fast_convert_and_round(x, dec_consts)
+    return bfv_tail.decrypt_tail(x, ct[0], dec_tail_consts,
+                                 interpret=(backend == "pallas-interpret"))

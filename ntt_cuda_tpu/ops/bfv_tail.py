@@ -1,0 +1,320 @@
+"""Fused encryption-tail Pallas kernel: c += e, modulus drop, Delta*m + fix.
+
+One kernel covering the reference's poly_add_xq (bfv_encryption.cuh:180-191),
+divide_and_round_q_last_inplace_add_x2 + _loop_xq (:111-178), and
+weird_m_stuff (:193-213) — the ops between the inverse NTT and the finished
+ciphertext.  XLA runs these as ~10 u64-emulated elementwise passes over the
+(2, r, n) tensor; here they are one VMEM-resident pass.  Integer-only limb
+arithmetic, bit-identical to ops/poly.py (tested), including the reference's
+strict-`>` add quirk.
+
+Grid: (r-1, 2) — kept residue x ciphertext half.  Each block reads its own
+residue, the (updated-by-e) last residue, its error residue, and (for half
+0) the message, and writes the finished (2, r-1, n) ciphertext block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import hostmath as hm
+from . import limb32
+
+U32 = jnp.uint32
+N2 = 128
+
+
+def _limbs(v: int) -> tuple[int, int]:
+    return v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["per_mod", "glob"],
+    meta_fields=["log2t"],
+)
+@dataclasses.dataclass(frozen=True)
+class TailConsts:
+    per_mod: jax.Array   # (r-1, 12) u32: q, qinv_neg, nu, half_mod,
+    #                      inv_q_last (Montgomery form), qi_div_t — lo/hi pairs
+    glob: jax.Array      # (4,) u32: q_last, half — lo/hi pairs
+    log2t: int
+
+    @staticmethod
+    def build(params) -> "TailConsts":
+        qs = params.q[:-1]
+        rows = []
+        for i, q in enumerate(qs):
+            row = (_limbs(q)
+                   + _limbs(hm.mont_qinv_neg(q))
+                   + _limbs((1 << 64) // q)
+                   + _limbs(params.half_mod_q[i])
+                   + _limbs(hm.to_mont(params.inv_q_last_mod_q[i], q))
+                   + _limbs(params.qi_div_t[i]))
+            rows.append(row)
+        glob = _limbs(params.q[-1]) + _limbs(params.half_last_modulus)
+        t = params.t
+        assert t & (t - 1) == 0, "t must be a power of two (mod_t mask)"
+        return TailConsts(
+            per_mod=jnp.asarray(np.array(rows, dtype=np.uint32)),
+            glob=jnp.asarray(np.array(glob, dtype=np.uint32)),
+            log2t=t.bit_length() - 1,
+        )
+
+
+def _mod_u64(x, q, nu):
+    """x mod q via nu = floor(2^64/q) (modmath.mod_u64 in limbs):
+    est = mulhi(x, nu); r = x - est*q in [0, 2q); one corrective subtract."""
+    est = limb32.mulhi64(x, nu)
+    r = limb32.sub64(x, limb32.mullo64(est, q))
+    return limb32.reduce_once(r, q)
+
+
+def _make_kernel(log2t: int, interpret: bool):
+    def kernel(pm_ref, gl_ref, cl_ref, ch_ref, ll_ref, lh_ref, el_ref,
+               eh_ref, fl_ref, fh_ref, ml_ref, mh_ref, ol_ref, oh_ref):
+        mi = pl.program_id(0)
+        half_idx = pl.program_id(1)
+        q = (pm_ref[mi, 0], pm_ref[mi, 1])
+        qinv = (pm_ref[mi, 2], pm_ref[mi, 3])
+        nu = (pm_ref[mi, 4], pm_ref[mi, 5])
+        half_mod = (pm_ref[mi, 6], pm_ref[mi, 7])
+        invq_mont = (pm_ref[mi, 8], pm_ref[mi, 9])
+        qi_div_t = (pm_ref[mi, 10], pm_ref[mi, 11])
+        q_last = (gl_ref[0], gl_ref[1])
+        half = (gl_ref[2], gl_ref[3])
+
+        c = (cl_ref[0], ch_ref[0])
+        e = (el_ref[0], eh_ref[0])
+        c_last = (ll_ref[0], lh_ref[0])
+        e_last = (fl_ref[0], fh_ref[0])
+
+        # poly_add_xq on this residue and on the last one (strict `>`)
+        s = limb32.add64(c, e)
+        s = limb32.cond_sub64(s, q, limb32.gt64(s, q))
+        ra = limb32.add64(c_last, e_last)
+        ra = limb32.cond_sub64(ra, q_last, limb32.gt64(ra, q_last))
+        # last += floor(q_last/2), mod q_last
+        ra = limb32.add64(ra, half)
+        ra = limb32.reduce_once(ra, q_last)
+        # tmp = (last mod q_i) -_safe half_mod_i
+        zero = (jnp.zeros_like(q[0]), jnp.zeros_like(q[1]))
+        tmp = _mod_u64(ra, q, nu)
+        tmp = limb32.add64(tmp, limb32.select64(
+            limb32.lt64(tmp, half_mod), q, zero))
+        tmp = limb32.sub64(tmp, half_mod)
+        # c_i = (c_i -_safe tmp) * inv_q_last  mod q_i
+        v = limb32.add64(s, limb32.select64(limb32.lt64(s, tmp), q, zero))
+        v = limb32.sub64(v, tmp)
+        out = limb32.mont_mul_lazy(v, invq_mont, q, qinv)
+        out = limb32.reduce_once(out, q)
+
+        # weird_m_stuff on half 0: c0 += Delta_i*m + fix, full mod.
+        # m < t (power of two, fits the low limb):
+        # fix = (m + (t+1)/2) // t = (m + t/2) >> log2t
+        mw = (ml_ref[0], mh_ref[0])
+        fix = ((mw[0] + U32(1 << (log2t - 1))) >> U32(log2t),
+               jnp.zeros_like(mw[1]))
+        dm = limb32.mullo64(mw, qi_div_t)
+        withm = limb32.add64(limb32.add64(out, dm), fix)
+        withm = _mod_u64(withm, q, nu)
+        is_c0 = half_idx == 0
+        res = limb32.select64(is_c0, withm, out)
+        ol_ref[0] = res[0]
+        oh_ref[0] = res[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encrypt_tail(c, e, m_poly, consts: TailConsts, interpret: bool = False):
+    """(2, r, n) c after INTT, (2, r, n) e, (n,) m -> (2, r-1, n) ciphertext.
+    Bit-identical to poly_add + divide_and_round_q_last + add_message."""
+    _, r, n = c.shape
+    n1 = n // N2
+    B = 2 * r
+    cl, ch = limb32.to_pair(c.reshape(B, n1, N2))
+    el, eh = limb32.to_pair(e.reshape(B, n1, N2))
+    ml, mh = limb32.to_pair(m_poly.reshape(1, n1, N2))
+
+    z = np.int32(0)
+    rr = np.int32(r)
+    dmap = lambda mi, h, pm, gl: (h * rr + mi, z, z)          # own residue
+    lmap = lambda mi, h, pm, gl: (h * rr + rr - 1, z, z)      # last residue
+    mmap = lambda mi, h, pm, gl: (z, z, z)                    # message
+    omap = lambda mi, h, pm, gl: (h * (rr - 1) + mi, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # per_mod, glob
+        grid=(r - 1, 2),
+        in_specs=[bs(dmap), bs(dmap),    # c
+                  bs(lmap), bs(lmap),    # c last residue
+                  bs(dmap), bs(dmap),    # e
+                  bs(lmap), bs(lmap),    # e last residue
+                  bs(mmap), bs(mmap)],   # message
+        out_specs=[bs(omap), bs(omap)],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_kernel(consts.log2t, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((2 * (r - 1), n1, N2), jnp.uint32)] * 2,
+        interpret=interpret,
+        **kwargs,
+    )(consts.per_mod, consts.glob, cl, ch, cl, ch, el, eh, el, eh, ml, mh)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    return limb32.from_pair((ol, oh)).reshape(2, r - 1, n)
+
+
+# ---------------------------------------------------------------------------
+# Fused decryption-tail kernel.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["per_mod", "glob"],
+    meta_fields=["log2t", "neg_t"],
+)
+@dataclasses.dataclass(frozen=True)
+class DecTailConsts:
+    per_mod: jax.Array   # (r-1, 12) u32: q, qinv_neg, prod_t_gamma (Mont),
+    #                      inv_punctured (Mont), bcm_t, bcm_g (Mont(gamma))
+    glob: jax.Array      # (8,) u32: gamma, gamma_qinv_neg, gamma_div_2,
+    #                      neg_g (Mont(gamma)) — lo/hi pairs
+    log2t: int
+    neg_t: int
+
+    @staticmethod
+    def build(params) -> "DecTailConsts":
+        qs = params.q[:-1]
+        g = params.gamma
+        bcm_t, bcm_g = params.base_change_matrix
+        neg_t, neg_g = params.neg_inv_q_mod_t_gamma
+        rows = []
+        for i, q in enumerate(qs):
+            rows.append(_limbs(q)
+                        + _limbs(hm.mont_qinv_neg(q))
+                        + _limbs(hm.to_mont(params.prod_t_gamma_mod_q[i], q))
+                        + _limbs(hm.to_mont(params.inv_punctured_q[i], q))
+                        + _limbs(bcm_t[i])
+                        + _limbs(hm.to_mont(bcm_g[i], g)))
+        glob = (_limbs(g) + _limbs(hm.mont_qinv_neg(g))
+                + _limbs(params.gamma_div_2) + _limbs(hm.to_mont(neg_g, g)))
+        return DecTailConsts(
+            per_mod=jnp.asarray(np.array(rows, dtype=np.uint32)),
+            glob=jnp.asarray(np.array(glob, dtype=np.uint32)),
+            log2t=params.t.bit_length() - 1,
+            neg_t=neg_t,
+        )
+
+
+def _mont_exact(a, b, q, qinv):
+    return limb32.reduce_once(limb32.mont_mul_lazy(a, b, q, qinv), q)
+
+
+def _make_dec_kernel(log2t: int, neg_t: int, rk: int, interpret: bool):
+    """Decryption tail (bfv_decryption.cuh:103-137 + poly_arithmetic
+    fast_convert/dec_round): per kept residue i, y_i = ((x_i +> c0_i) *
+    prod_t_gamma * inv_punctured) mod q_i; accumulate the BEHZ sums
+    x_t += (y_i * bcm_t_i) & (t-1)  and  x_g = (x_g + y_i * bcm_g_i) mod
+    gamma across the residue grid in VMEM scratch; final step applies
+    neg_inv_q scaling and dec_round.  Bit-identical to the ops/poly.py
+    chain (the accumulation order equals its python loop order because the
+    TPU grid runs sequentially)."""
+    def kernel(pm_ref, gl_ref, xl_ref, xh_ref, cl_ref, ch_ref,
+               out_ref, xt_ref, xgl_ref, xgh_ref):
+        mi = pl.program_id(0)
+        q = (pm_ref[mi, 0], pm_ref[mi, 1])
+        qinv = (pm_ref[mi, 2], pm_ref[mi, 3])
+        ptg = (pm_ref[mi, 4], pm_ref[mi, 5])
+        ipq = (pm_ref[mi, 6], pm_ref[mi, 7])
+        bct = (pm_ref[mi, 8], pm_ref[mi, 9])
+        bcg = (pm_ref[mi, 10], pm_ref[mi, 11])
+        gam = (gl_ref[0], gl_ref[1])
+        ginv = (gl_ref[2], gl_ref[3])
+        gdiv2 = (gl_ref[4], gl_ref[5])
+        negg = (gl_ref[6], gl_ref[7])
+        mask = U32((1 << log2t) - 1)
+
+        x = (xl_ref[0], xh_ref[0])
+        c0 = (cl_ref[0], ch_ref[0])
+        # poly_add_xq_d strict-`>` quirk (bfv_decryption.cuh:13-23)
+        s = limb32.add64(x, c0)
+        s = limb32.cond_sub64(s, q, limb32.gt64(s, q))
+        y = _mont_exact(s, ptg, q, qinv)       # * t*gamma mod q_i
+        y = _mont_exact(y, ipq, q, qinv)       # * inv punctured q
+        # BEHZ partials
+        part_t = limb32.mullo64(y, bct)[0] & mask     # low 32 bits suffice
+        part_g = _mont_exact(y, bcg, gam, ginv)
+
+        @pl.when(mi == 0)
+        def _init():
+            xt_ref[...] = part_t
+            xgl_ref[...] = part_g[0]
+            xgh_ref[...] = part_g[1]
+
+        @pl.when(mi > 0)
+        def _acc():
+            xt_ref[...] = xt_ref[...] + part_t        # wraps mod 2^32: exact
+            acc = limb32.add64((xgl_ref[...], xgh_ref[...]), part_g)
+            acc = limb32.reduce_once(acc, gam)        # add_mod chain order
+            xgl_ref[...] = acc[0]
+            xgh_ref[...] = acc[1]
+
+        @pl.when(mi == rk - 1)
+        def _final():
+            x_t = ((xt_ref[...] & mask) * U32(neg_t)) & mask
+            x_g = _mont_exact((xgl_ref[...], xgh_ref[...]), negg, gam, ginv)
+            # dec_round (poly_arithmetic.cuh:253-268); only low 32 bits
+            # reach the mask
+            over = limb32.gt64(x_g, gdiv2)
+            plus = x_t + (gam[0] - x_g[0])
+            minus = x_t - x_g[0]
+            out_ref[0] = jnp.where(over, plus, minus) & mask
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decrypt_tail(x, ct0, consts: DecTailConsts, interpret: bool = False):
+    """(r-1, n) x = INTT(NTT(c1) (.) sk), (r-1, n) c0 -> (n,) plaintext.
+    Bit-identical to poly_add + scalar muls + fast_convert_and_round."""
+    rk, n = x.shape
+    n1 = n // N2
+    xl, xh = limb32.to_pair(x.reshape(rk, n1, N2))
+    cl, ch = limb32.to_pair(ct0.reshape(rk, n1, N2))
+
+    z = np.int32(0)
+    dmap = lambda mi, pm, gl: (mi, z, z)
+    omap = lambda mi, pm, gl: (z, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(rk,),
+        in_specs=[bs(dmap), bs(dmap), bs(dmap), bs(dmap)],
+        out_specs=[bs(omap)],
+        scratch_shapes=[pltpu.VMEM((n1, N2), jnp.uint32)] * 3,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        _make_dec_kernel(consts.log2t, consts.neg_t, rk, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, n1, N2), jnp.uint32)],
+        interpret=interpret,
+        **kwargs,
+    )(consts.per_mod, consts.glob, xl, xh, cl, ch)[0]
+    if interpret:
+        out = jax.lax.optimization_barrier(out)
+    return out.reshape(n).astype(jnp.uint64)

@@ -91,6 +91,16 @@ def geq64(a, b):
     return (a1 > b1) | ((a1 == b1) & (a0 >= b0))
 
 
+def gt64(a, b):
+    a0, a1 = a
+    b0, b1 = b
+    return (a1 > b1) | ((a1 == b1) & (a0 > b0))
+
+
+def lt64(a, b):
+    return ~geq64(a, b)
+
+
 def select64(pred, a, b):
     return (jnp.where(pred, a[0], b[0]), jnp.where(pred, a[1], b[1]))
 

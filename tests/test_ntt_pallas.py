@@ -38,3 +38,23 @@ def test_rns_batch_and_ciphertext_shapes(rng):
     ref = np.asarray(ntt.ntt_forward_jit(jnp.asarray(x), tables, ms))
     got = np.asarray(ntt_pallas.ntt_forward(jnp.asarray(x), ftab, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_30bit_family_pallas(rng):
+    """Legacy 30-bit modulus family (old/ntt_30bit.cuh) through the fused
+    Pallas kernel: same limb pipeline, q < 2^31."""
+    n = 2048
+    q, psi, _, _, _ = get_params(n, family="30bit")
+    tables = ntt.NTTTables.build([q], [psi], n)
+    ms = modmath.ModulusSet.from_moduli([q])
+    ftab = ntt_pallas.FourStepTables.build([q], [psi], n)
+    x = rng.integers(0, q, n, dtype=np.uint64)[None, :]
+    ref_f = np.asarray(ntt.ntt_forward_jit(jnp.asarray(x), tables, ms))
+    got_f = np.asarray(ntt_pallas.ntt_forward(jnp.asarray(x), ftab, interpret=True))
+    np.testing.assert_array_equal(got_f, ref_f)
+    y = rng.integers(0, q, n, dtype=np.uint64)[None, :]
+    ref_im = np.asarray(ntt.ntt_inverse_jit(
+        ntt.dyadic_mul(jnp.asarray(x), jnp.asarray(y), ms), tables, ms))
+    got_im = np.asarray(ntt_pallas.ntt_inverse_mul(
+        jnp.asarray(x), jnp.asarray(y), ftab, interpret=True))
+    np.testing.assert_array_equal(got_im, ref_im)
