@@ -44,6 +44,15 @@ def poly_negate(a, ms: ModulusSet):
     return modmath.negate_mod(a, ms.q)
 
 
+def poly_add_scalar(a, c, ms: ModulusSet):
+    """a + c mod q for a scalar (or (r, 1) per-modulus) addend in [0, q)
+    (poly_add_integer, poly_arithmetic.cuh:155-165; the +floor(q_last/2)
+    step of the modulus drop uses this shape)."""
+    c = jnp.asarray(c, U64)
+    s = a + c
+    return s - ms.q * (s >= ms.q).astype(U64)
+
+
 def poly_sub(a, b, ms: ModulusSet):
     """c = a - b mod q.
 

@@ -127,3 +127,17 @@ def test_poly_sub_correct(rng):
     expect = np.stack([(a[i].astype(object) - b[i].astype(object)) % p.q[i]
                        for i in range(p.r)]).astype(np.uint64)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_poly_add_scalar(rng):
+    import jax.numpy as jnp
+    from ntt_cuda_tpu.ops import modmath as mm, poly
+    from ntt_cuda_tpu.params import get_bfv_params
+    p = get_bfv_params("4k_3q")
+    ms = mm.modulus_set(p)
+    a = np.stack([rng.integers(0, q, 64, dtype=np.uint64) for q in p.q])
+    c = 12345
+    got = np.asarray(poly.poly_add_scalar(jnp.asarray(a), c, ms))
+    expect = np.stack([(a[i].astype(object) + c) % p.q[i]
+                       for i in range(p.r)]).astype(np.uint64)
+    np.testing.assert_array_equal(got, expect)
