@@ -57,8 +57,10 @@ def _phase_times(ctx, params, inner=None):
         @jax.jit
         def step(seed):
             def body(i, s):
-                skk, _ = ctx.keygen(nonce=s)
-                return skk[0, 0]                  # carries into next nonce
+                skk, pkk = ctx.keygen(nonce=s)
+                # consume both outputs: XLA dead-code-eliminates the pk
+                # path (2 of keygen's 3 NTT batches) otherwise
+                return skk[0, 0] + pkk[0, 0, 0] + pkk[1, 0, 0]                  # carries into next nonce
             return jax.lax.fori_loop(0, k, body, seed)
         return step
 

@@ -97,11 +97,12 @@ def keygen_draws(n: int, r: int, ms: modmath.ModulusSet,
     """Sample (s, a, e) for keygen with the reference's byte layout
     (bfv_keygen.cuh:120-122): ternary bytes at 0, uniform u64 lanes at
     byte offset n, gaussian u32 lanes at byte offset n + 8*r*n."""
-    ks = salsa20.keystream_for_bytes(keygen_entropy_bytes(n, r),
-                                     key_byte=key_byte, nonce=nonce)
-    s = ternary(salsa20.bytes_u8(ks, 0, n), ms)
-    a = uniform(salsa20.bytes_u64(ks, n, r * n).reshape(r, n), ms)
-    e = gaussian(salsa20.bytes_u32(ks, n + 8 * r * n, n), ms)
+    nbytes = keygen_entropy_bytes(n, r)
+    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
+                                       key_byte=key_byte, nonce=nonce)
+    s = ternary(salsa20.block_words_u8(bw, 0, n), ms)
+    a = uniform(salsa20.block_words_u64(bw, n, r * n).reshape(r, n), ms)
+    e = gaussian(salsa20.block_words_u32(bw, n + 8 * r * n, n), ms)
     return s, a, e
 
 
@@ -116,9 +117,10 @@ def encrypt_draws(n: int, r: int, ms: modmath.ModulusSet,
     """Sample (u, e0, e1) for encryption (convert_ternary_gaussian_x2,
     bfv_encryption.cuh:17-109): ternary bytes at 0, e0 u32 lanes at byte
     offset n, e1 u32 lanes at byte offset 5n."""
-    ks = salsa20.keystream_for_bytes(encrypt_entropy_bytes(n),
-                                     key_byte=key_byte, nonce=nonce)
-    u = ternary(salsa20.bytes_u8(ks, 0, n), ms)
-    e0 = gaussian(salsa20.bytes_u32(ks, n, n), ms)
-    e1 = gaussian(salsa20.bytes_u32(ks, 5 * n, n), ms)
+    nbytes = encrypt_entropy_bytes(n)
+    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
+                                       key_byte=key_byte, nonce=nonce)
+    u = ternary(salsa20.block_words_u8(bw, 0, n), ms)
+    e0 = gaussian(salsa20.block_words_u32(bw, n, n), ms)
+    e1 = gaussian(salsa20.block_words_u32(bw, 5 * n, n), ms)
     return u, e0, e1
