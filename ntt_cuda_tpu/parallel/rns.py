@@ -49,8 +49,17 @@ class ShardedBFVContext:
     mesh: Mesh
 
     @staticmethod
-    def build(params: BFVParams, mesh: Mesh) -> "ShardedBFVContext":
-        ctx = bfv.BFVContext.build(params)
+    def build(params: BFVParams, mesh: Mesh,
+              backend: str | None = None) -> "ShardedBFVContext":
+        if backend is None and mesh.devices.size > 1 and \
+                jax.default_backend() == "tpu":
+            # GSPMD can partition the XLA NTT freely; a Mosaic pallas_call
+            # is a custom call it may only replicate (gathering the full
+            # operand per chip).  Until the explicit shard_map pipeline
+            # lands (NOTES_NEXT_ROUND.md), multi-chip TPU meshes default
+            # to the partitionable path; pass backend="pallas" to override.
+            backend = "xla"
+        ctx = bfv.BFVContext.build(params, backend=backend)
         rns = mesh_mod.RNS_AXIS
         rns_size = mesh.shape[rns]
         const = NamedSharding(mesh, P(rns, None))
