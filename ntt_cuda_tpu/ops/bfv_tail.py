@@ -318,3 +318,205 @@ def decrypt_tail(x, ct0, consts: DecTailConsts, interpret: bool = False):
     if interpret:
         out = jax.lax.optimization_barrier(out)
     return out.reshape(n).astype(jnp.uint64)
+
+
+# ---------------------------------------------------------------------------
+# shard_map (SPMD) variants: per-shard kernels whose cross-residue inputs /
+# outputs are explicit, so the collectives live in parallel/spmd.py.
+# ---------------------------------------------------------------------------
+
+def build_tail_consts_padded(params) -> TailConsts:
+    """TailConsts over ALL r moduli (padding layout: the dropped modulus
+    keeps a well-defined row — its output slot is garbage by design, as in
+    the reference's in-place ciphertext layout, bfv_encryption.cuh:216-222).
+    glob.half is zeroed: the SPMD caller folds +half into ra itself."""
+    rows = []
+    for i, q in enumerate(params.q):
+        half_mod = params.half_mod_q[i] if i < params.r - 1 else 0
+        invq = (hm.to_mont(params.inv_q_last_mod_q[i], q)
+                if i < params.r - 1 else hm.to_mont(1, q))
+        qdt = params.qi_div_t[i] if i < params.r - 1 else 0
+        rows.append(_limbs(q) + _limbs(hm.mont_qinv_neg(q))
+                    + _limbs((1 << 64) // q) + _limbs(half_mod)
+                    + _limbs(invq) + _limbs(qdt))
+    glob = _limbs(params.q[-1]) + _limbs(0)
+    return TailConsts(
+        per_mod=jnp.asarray(np.array(rows, dtype=np.uint32)),
+        glob=jnp.asarray(np.array(glob, dtype=np.uint32)),
+        log2t=params.t.bit_length() - 1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encrypt_tail_padded(c, e, ra_ready, m_poly, consts: TailConsts,
+                        interpret: bool = False):
+    """Per-shard encrypt tail: (2, rl, n) c and e (local residues),
+    ra_ready (2, n) = ((c_last +> e_last) + half) mod q_last (already
+    psum-broadcast), (n,) m -> (2, rl, n) padded ciphertext (every local
+    residue processed; the global-last slot, if local, is garbage)."""
+    _, rl, n = c.shape
+    n1 = n // N2
+    cl, ch = limb32.to_pair(c.reshape(2 * rl, n1, N2))
+    el, eh = limb32.to_pair(e.reshape(2 * rl, n1, N2))
+    rl_, rh_ = limb32.to_pair(ra_ready.reshape(2, n1, N2))
+    ml, mh = limb32.to_pair(m_poly.reshape(1, n1, N2))
+
+    z = np.int32(0)
+    rr = np.int32(rl)
+    dmap = lambda mi, h, pm, gl: (h * rr + mi, z, z)
+    lmap = lambda mi, h, pm, gl: (h, z, z)
+    mmap = lambda mi, h, pm, gl: (z, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(rl, 2),
+        in_specs=[bs(dmap), bs(dmap),    # c
+                  bs(lmap), bs(lmap),    # ra_ready (the "last residue")
+                  bs(dmap), bs(dmap),    # e
+                  bs(lmap), bs(lmap),    # zero e_last (identity add)
+                  bs(mmap), bs(mmap)],
+        out_specs=[bs(dmap), bs(dmap)],
+    )
+    zeros = jnp.zeros_like(rl_)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_kernel(consts.log2t, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((2 * rl, n1, N2), jnp.uint32)] * 2,
+        interpret=interpret,
+        **kwargs,
+    )(consts.per_mod, consts.glob, cl, ch, rl_, rh_, el, eh, zeros, zeros,
+      ml, mh)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    return limb32.from_pair((ol, oh)).reshape(2, rl, n)
+
+
+def build_dec_tail_consts_padded(params, lo: int, hi: int) -> DecTailConsts:
+    """DecTailConsts rows for moduli [lo, hi) with the dropped (global
+    last) modulus's BEHZ matrix rows zeroed, so its partials vanish from
+    the cross-shard sums."""
+    g = params.gamma
+    bcm_t, bcm_g = params.base_change_matrix
+    neg_t, neg_g = params.neg_inv_q_mod_t_gamma
+    rows = []
+    for i in range(lo, hi):
+        q = params.q[i]
+        kept = i < params.r - 1
+        rows.append(
+            _limbs(q) + _limbs(hm.mont_qinv_neg(q))
+            + _limbs(hm.to_mont(params.prod_t_gamma_mod_q[i], q) if kept else 0)
+            + _limbs(hm.to_mont(params.inv_punctured_q[i], q) if kept else 0)
+            + _limbs(bcm_t[i] if kept else 0)
+            + _limbs(hm.to_mont(bcm_g[i], g) if kept else 0))
+    glob = (_limbs(g) + _limbs(hm.mont_qinv_neg(g))
+            + _limbs(params.gamma_div_2) + _limbs(hm.to_mont(neg_g, g)))
+    return DecTailConsts(
+        per_mod=jnp.asarray(np.array(rows, dtype=np.uint32)),
+        glob=jnp.asarray(np.array(glob, dtype=np.uint32)),
+        log2t=params.t.bit_length() - 1,
+        neg_t=neg_t,
+    )
+
+
+def _make_dec_partial_kernel(log2t: int, rl: int, interpret: bool):
+    """decrypt_tail accumulation only: per-shard BEHZ partial sums
+    (x_t wrapping-u32, x_g mod gamma); the cross-shard psum and the final
+    scaling/rounding happen in the caller."""
+    def kernel(pm_ref, gl_ref, xl_ref, xh_ref, cl_ref, ch_ref,
+               otl_ref, ogl_ref, ogh_ref):
+        mi = pl.program_id(0)
+        q = (pm_ref[mi, 0], pm_ref[mi, 1])
+        qinv = (pm_ref[mi, 2], pm_ref[mi, 3])
+        ptg = (pm_ref[mi, 4], pm_ref[mi, 5])
+        ipq = (pm_ref[mi, 6], pm_ref[mi, 7])
+        bct = (pm_ref[mi, 8], pm_ref[mi, 9])
+        bcg = (pm_ref[mi, 10], pm_ref[mi, 11])
+        gam = (gl_ref[0], gl_ref[1])
+        ginv = (gl_ref[2], gl_ref[3])
+        mask = U32((1 << log2t) - 1)
+
+        x = (xl_ref[0], xh_ref[0])
+        c0 = (cl_ref[0], ch_ref[0])
+        s = limb32.add64(x, c0)
+        s = limb32.cond_sub64(s, q, limb32.gt64(s, q))
+        y = _mont_exact(s, ptg, q, qinv)
+        y = _mont_exact(y, ipq, q, qinv)
+        part_t = limb32.mullo64(y, bct)[0] & mask
+        part_g = _mont_exact(y, bcg, gam, ginv)
+
+        @pl.when(mi == 0)
+        def _init():
+            otl_ref[0] = part_t
+            ogl_ref[0] = part_g[0]
+            ogh_ref[0] = part_g[1]
+
+        @pl.when(mi > 0)
+        def _acc():
+            otl_ref[0] = otl_ref[0] + part_t
+            acc = limb32.add64((ogl_ref[0], ogh_ref[0]), part_g)
+            acc = limb32.reduce_once(acc, gam)
+            ogl_ref[0] = acc[0]
+            ogh_ref[0] = acc[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decrypt_tail_partial(x, ct0, consts: DecTailConsts,
+                         interpret: bool = False):
+    """(rl, n) x, (rl, n) c0 -> (x_t (n,) u32 wrapping sum,
+    x_g (n,) u64 sum mod gamma) — this shard's BEHZ partials."""
+    rl, n = x.shape
+    n1 = n // N2
+    xl, xh = limb32.to_pair(x.reshape(rl, n1, N2))
+    cl, ch = limb32.to_pair(ct0.reshape(rl, n1, N2))
+    z = np.int32(0)
+    dmap = lambda mi, pm, gl: (mi, z, z)
+    omap = lambda mi, pm, gl: (z, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(rl,),
+        in_specs=[bs(dmap), bs(dmap), bs(dmap), bs(dmap)],
+        out_specs=[bs(omap), bs(omap), bs(omap)],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ot, ogl, ogh = pl.pallas_call(
+        _make_dec_partial_kernel(consts.log2t, rl, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, n1, N2), jnp.uint32)] * 3,
+        interpret=interpret,
+        **kwargs,
+    )(consts.per_mod, consts.glob, xl, xh, cl, ch)
+    if interpret:
+        ot, ogl, ogh = jax.lax.optimization_barrier((ot, ogl, ogh))
+    xg = limb32.from_pair((ogl, ogh)).reshape(n)
+    return ot.reshape(n), xg
+
+
+def dec_round_from_sums(x_t_sum, x_g_sum, params):
+    """Finish decryption from psum'd BEHZ sums (jnp, (n,) elementwise).
+
+    x_t_sum: wrapping-u32 sum of masked t-row partials across ALL kept
+    residues; x_g_sum: u64 sum of gamma-row partials (each < gamma; the
+    total must stay < 2^64, i.e. #shards * gamma — fine for <= 8 shards).
+    Bit-identical to the fused decrypt_tail finisher."""
+    from . import modmath
+    g = params.gamma
+    t = params.t
+    neg_t, neg_g = params.neg_inv_q_mod_t_gamma
+    mask = jnp.uint64(t - 1)
+    x_t = ((x_t_sum.astype(jnp.uint64) & mask) * jnp.uint64(neg_t)) & mask
+    nu_g = jnp.uint64((1 << 64) // g)
+    x_g = modmath.mod_u64(x_g_sum, jnp.uint64(g), nu_g)
+    x_g = modmath.mont_mul(x_g, jnp.uint64(hm.to_mont(neg_g, g)),
+                           jnp.uint64(g), jnp.uint64(hm.mont_qinv_neg(g)))
+    corr = jnp.where(x_g > jnp.uint64(params.gamma_div_2),
+                     x_t + (jnp.uint64(g) - x_g), x_t - x_g)
+    return corr & mask

@@ -46,7 +46,8 @@ def _double_round(x):
 
 @functools.partial(jax.jit, static_argnames=("nblocks", "key_byte", "rounds"))
 def keystream_block_words(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
-                          nonce=0, rounds: int = 20) -> jax.Array:
+                          nonce=0, rounds: int = 20,
+                          counter0=0) -> jax.Array:
     """Keystream in block-position layout: (16, nblocks) u32, row p =
     word p of every 64-byte block.  This is the generator's natural
     (compute) layout; stream word w lives at [w % 16, w // 16].  Consumers
@@ -56,8 +57,11 @@ def keystream_block_words(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
 
     `nonce` may be a Python int or a traced u64 scalar (state words 6/7);
     the reference always uses 0, but a per-message nonce is how a caller
-    gets fresh encryption randomness under the fixed key."""
-    ctr = jnp.arange(nblocks, dtype=U64)
+    gets fresh encryption randomness under the fixed key.  `counter0`
+    (int or traced u64) offsets the block counter: counter mode means a
+    shard can generate exactly its slice of the stream — block b here
+    equals block counter0 + b of the full stream."""
+    ctr = jnp.arange(nblocks, dtype=U64) + jnp.asarray(counter0, U64)
     kw = _key_words(key_byte)
     nonce = jnp.asarray(nonce, U64)
     j = [

@@ -1,0 +1,200 @@
+"""Explicit shard_map BFV pipelines over the 'rns' mesh axis.
+
+Unlike parallel/rns.py (which relies on GSPMD to partition the jitted XLA
+pipelines), this module writes the SPMD program directly: every device
+runs the fused Pallas kernels on its own r/R modulus channels, generates
+exactly its slice of the Salsa20 keystream (counter mode), and the only
+cross-chip traffic is
+
+  * encrypt — one psum broadcasting the (2, n) adjusted last residue for
+    the SEAL-style modulus drop (divide_and_round, the single cross-RNS
+    dependency of encryption), and
+  * decrypt — one psum of the BEHZ base-conversion partial sums (x_t
+    wrapping-u32, x_g mod gamma; both associative, so cross-shard psum is
+    bit-identical to the reference's sequential accumulation).
+
+Keygen has no collectives at all.  Ciphertexts use the reference's
+padding-in-place layout ((2, r, n) with the dropped residue slot garbage,
+bfv_encryption.cuh:216-222) so every shard's slice has the same shape.
+
+This is the multi-chip path where the Pallas kernels actually scale; the
+GSPMD path may only replicate a Mosaic custom call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models import bfv
+from ..ops import bfv_tail, modmath, ntt_pallas, poly, salsa20, sampling
+from ..params import BFVParams
+
+U64 = jnp.uint64
+
+
+@dataclasses.dataclass(frozen=True)
+class SpmdBFVContext:
+    params: BFVParams
+    mesh: Mesh                     # 1-axis mesh ('rns',)
+    ms: modmath.ModulusSet         # (r, 1) bundles, sharded P('rns', ...)
+    ftab: ntt_pallas.FourStepTables
+    tail_consts: bfv_tail.TailConsts        # padded (r rows)
+    dec_consts: bfv_tail.DecTailConsts      # padded (r rows, dropped zeroed)
+    interpret: bool
+
+    @staticmethod
+    def build(params: BFVParams, devices=None,
+              interpret: bool | None = None) -> "SpmdBFVContext":
+        if devices is None:
+            devices = jax.devices()
+        mesh = Mesh(np.array(devices), ("rns",))
+        R = mesh.shape["rns"]
+        if params.r % R != 0:
+            raise ValueError(f"r={params.r} not divisible by {R} shards")
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        row = NamedSharding(mesh, P("rns"))
+
+        def shard(tree):
+            # row bundles are rank >= 2 with r rows; 1-D globals (which can
+            # coincidentally have length r) and scalars replicate
+            return jax.tree.map(
+                lambda x: jax.device_put(
+                    x, row if getattr(x, "ndim", 0) >= 2 and
+                    x.shape[0] == params.r else
+                    NamedSharding(mesh, P())), tree)
+
+        return SpmdBFVContext(
+            params=params,
+            mesh=mesh,
+            ms=shard(modmath.modulus_set(params)),
+            ftab=shard(ntt_pallas.tables_for(params)),
+            tail_consts=shard(bfv_tail.build_tail_consts_padded(params)),
+            dec_consts=shard(
+                bfv_tail.build_dec_tail_consts_padded(params, 0, params.r)),
+            interpret=interpret,
+        )
+
+    # -- helpers ------------------------------------------------------------
+
+    def _specs(self):
+        """(ms_spec, ftab_spec, consts_spec) pytrees of PartitionSpecs."""
+        row = P("rns")
+        rep = P()
+        def spec_of(x):
+            return row if getattr(x, "ndim", 0) >= 2 and \
+                x.shape[0] == self.params.r else rep
+        return (jax.tree.map(spec_of, self.ms),
+                jax.tree.map(spec_of, self.ftab),
+                jax.tree.map(spec_of, self.tail_consts),
+                jax.tree.map(spec_of, self.dec_consts))
+
+    # -- pipelines ----------------------------------------------------------
+
+    def keygen(self, nonce=0):
+        """-> sk (r, n) P('rns', None), pk (2, r, n) P(None, 'rns', None).
+        Zero collectives: s/e draws are shard-replicated compute; each
+        shard generates its own uniform keystream slice (counter mode)."""
+        p = self.params
+        n, r = p.n, p.r
+        R = self.mesh.shape["rns"]
+        rl = r // R
+        interp = self.interpret
+        ms_spec, ftab_spec, _, _ = self._specs()
+
+        def kg(nonce_, ms, ftab):
+            idx = jax.lax.axis_index("rns")
+            bw_s = salsa20.keystream_block_words(n // 64, nonce=nonce_)
+            s = sampling.ternary(salsa20.block_words_u8(bw_s, 0, n), ms)
+            c0a = n // 64 + idx.astype(U64) * U64(rl * n // 8)
+            bw_a = salsa20.keystream_block_words(rl * n // 8, nonce=nonce_,
+                                                 counter0=c0a)
+            a = sampling.uniform(
+                salsa20.block_words_u64(bw_a, 0, rl * n).reshape(rl, n), ms)
+            bw_e = salsa20.keystream_block_words(
+                n // 16, nonce=nonce_, counter0=(n + 8 * r * n) // 64)
+            e = sampling.gaussian(salsa20.block_words_u32(bw_e, 0, n), ms)
+            sk = ntt_pallas.ntt_forward(s, ftab, interpret=interp)
+            pk0 = ntt_pallas.ntt_inverse_mul(a, sk, ftab, interpret=interp)
+            pk0 = poly.poly_add_negate(pk0, e, ms)
+            pk0 = ntt_pallas.ntt_forward(pk0, ftab, interpret=interp)
+            return sk, jnp.stack([pk0, a])
+
+        fn = shard_map(kg, mesh=self.mesh,
+                       in_specs=(P(), ms_spec, ftab_spec),
+                       out_specs=(P("rns", None), P(None, "rns", None)),
+                       check_vma=False)
+        return jax.jit(fn)(jnp.asarray(nonce, U64), self.ms, self.ftab)
+
+    def encrypt(self, pk, m_poly, nonce=0):
+        """pk (2, r, n) NTT-domain -> padded ciphertext (2, r, n), the
+        global-last residue slot garbage (reference layout).  One psum."""
+        p = self.params
+        n, r = p.n, p.r
+        R = self.mesh.shape["rns"]
+        rl = r // R
+        q_last = p.q[-1]
+        half = p.half_last_modulus
+        interp = self.interpret
+        ms_spec, ftab_spec, tail_spec, _ = self._specs()
+
+        def enc(nonce_, pkk, m, ms, ftab, tc):
+            idx = jax.lax.axis_index("rns")
+            bw = salsa20.keystream_block_words(
+                (sampling.encrypt_entropy_bytes(n) + 63) // 64, nonce=nonce_)
+            u = sampling.ternary(salsa20.block_words_u8(bw, 0, n), ms)
+            e0 = sampling.gaussian(salsa20.block_words_u32(bw, n, n), ms)
+            e1 = sampling.gaussian(salsa20.block_words_u32(bw, 5 * n, n), ms)
+            c = jnp.stack([u, u])
+            c = ntt_pallas.ntt_forward(c, ftab, interpret=interp)
+            c = ntt_pallas.ntt_inverse_mul(c, pkk, ftab, interpret=interp)
+            e = jnp.stack([e0, e1])
+            # adjusted last residue, owner shard -> everyone (one psum)
+            ql = U64(q_last)
+            ra = c[:, -1, :] + e[:, -1, :]
+            ra = ra - ql * (ra > ql).astype(U64)      # strict-`>` quirk
+            ra = ra + U64(half)
+            ra = ra - ql * (ra >= ql).astype(U64)
+            ra = jnp.where(idx == R - 1, ra, jnp.zeros_like(ra))
+            ra = jax.lax.psum(ra, "rns")
+            return bfv_tail.encrypt_tail_padded(c, e, ra, m, tc,
+                                                interpret=interp)
+
+        fn = shard_map(enc, mesh=self.mesh,
+                       in_specs=(P(), P(None, "rns", None), P(),
+                                 ms_spec, ftab_spec, tail_spec),
+                       out_specs=P(None, "rns", None),
+                       check_vma=False)
+        return jax.jit(fn)(jnp.asarray(nonce, U64), pk,
+                           jnp.asarray(m_poly, U64), self.ms, self.ftab,
+                           self.tail_consts)
+
+    def decrypt(self, sk, ct):
+        """sk (r, n) NTT-domain, ct (2, r, n) padded -> (n,) plaintext,
+        replicated.  One psum of the BEHZ partials."""
+        p = self.params
+        interp = self.interpret
+        ms_spec, ftab_spec, _, dec_spec = self._specs()
+
+        def dec(skk, ctt, ms, ftab, dc):
+            x = ntt_pallas.ntt_forward(ctt[1], ftab, interpret=interp)
+            x = ntt_pallas.ntt_inverse_mul(x, skk, ftab, interpret=interp)
+            xt, xg = bfv_tail.decrypt_tail_partial(x, ctt[0], dc,
+                                                   interpret=interp)
+            xt = jax.lax.psum(xt, "rns")
+            xg = jax.lax.psum(xg, "rns")   # < R * gamma < 2^64 for R <= 8
+            return bfv_tail.dec_round_from_sums(xt, xg, p)
+
+        fn = shard_map(dec, mesh=self.mesh,
+                       in_specs=(P("rns", None), P(None, "rns", None),
+                                 ms_spec, ftab_spec, dec_spec),
+                       out_specs=P(),
+                       check_vma=False)
+        return jax.jit(fn)(sk, ct, self.ms, self.ftab, self.dec_consts)
