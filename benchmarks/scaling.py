@@ -11,7 +11,10 @@ On a multi-host pod, run one process per host with
 meshes all devices.  On a single chip it reports the 1-device baseline.
 On CPU (JAX_PLATFORMS=cpu with xla_force_host_platform_device_count=8) it
 demonstrates the harness on virtual devices — useful for verifying the
-collective structure, not for absolute numbers.
+collective structure, not for absolute numbers.  The bfv-spmd op runs the
+shard_map/Pallas pipeline and is only meaningful on real TPUs (interpret
+mode executes the kernels through the Pallas evaluator at ~seconds per
+call; its correctness on CPU is covered by tests/test_spmd.py instead).
 
 Usage: python benchmarks/scaling.py [--n 131072] [--r 8] [--op ntt|bfv]
 Prints one JSON line per mesh shape.
@@ -39,7 +42,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 17)
     ap.add_argument("--r", type=int, default=8)
-    ap.add_argument("--op", default="ntt", choices=["ntt", "bfv"])
+    ap.add_argument("--op", default="ntt",
+                    choices=["ntt", "bfv", "bfv-spmd"])
     ap.add_argument("--qbits", type=int, default=55)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual devices; overrides "
@@ -80,7 +84,18 @@ def main() -> None:
         ndev = rns_ax * coef_ax
         mesh = mesh_mod.make_mesh(rns=rns_ax, coef=coef_ax,
                                   devices=devs[:ndev])
-        if args.op == "ntt":
+        if args.op == "bfv-spmd":
+            # explicit shard_map pipeline: rns-only mesh, fused Pallas
+            # kernels per shard (the production multi-chip path)
+            from ntt_cuda_tpu.parallel import spmd
+            if coef_ax != 1:
+                continue
+            sctx = spmd.SpmdBFVContext.build(params,
+                                             devices=devs[:rns_ax])
+            sk, pk = sctx.keygen()
+            m = jnp.asarray(np.arange(n, dtype=np.uint64) % params.t)
+            dt = _bench(sctx.encrypt, (pk, m))
+        elif args.op == "ntt":
             q, psi = params.q[0], params.psi[0]
             tables = ntt.NTTTables.build([q], [psi], n)
             ms = modmath.ModulusSet.from_moduli([q])
