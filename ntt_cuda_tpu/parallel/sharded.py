@@ -33,8 +33,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import modmath
-from ..ops.ntt import NTTTables
-from ..ops.modmath import ModulusSet
 from .mesh import COEF_AXIS, RNS_AXIS
 
 U64 = jnp.uint64

@@ -24,7 +24,6 @@ GSPMD path may only replicate a Mosaic custom call.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..models import bfv
 from ..ops import bfv_tail, modmath, ntt_pallas, poly, salsa20, sampling
 from ..params import BFVParams
 

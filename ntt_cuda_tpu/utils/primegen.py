@@ -10,7 +10,6 @@ moduli chains.
 
 from __future__ import annotations
 
-import dataclasses
 
 from .. import params as params_mod
 

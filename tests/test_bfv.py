@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import pytest
 
 from ntt_cuda_tpu.models import bfv
-from ntt_cuda_tpu.ops import modmath, ntt, poly, sampling
+from ntt_cuda_tpu.ops import ntt, sampling
 from ntt_cuda_tpu.params import get_bfv_params
 from ntt_cuda_tpu.utils import golden
 

@@ -9,7 +9,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ntt_cuda_tpu.models import bfv
 from ntt_cuda_tpu.ops import modmath, ntt

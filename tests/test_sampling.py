@@ -8,7 +8,6 @@ treatment (keygen_test.cu histogram) plus clamp/truncation checks.
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from ntt_cuda_tpu.ops import modmath, salsa20, sampling
 from ntt_cuda_tpu.params import get_bfv_params
