@@ -61,11 +61,11 @@ def main() -> None:
         _ = float(jnp.sum(o[0, :2].astype(jnp.float64)))
         return (time.perf_counter() - t0) / reps
 
-    i1, i2 = 16, 64
+    i1, i2 = 32, 128
     s1, s2 = make_step(i1), make_step(i2)
     # min over repeats: the relay adds heavy-tailed positive noise
-    t1 = min(timed(s1) for _ in range(2))
-    t2 = min(timed(s2) for _ in range(2))
+    t1 = min(timed(s1) for _ in range(3))
+    t2 = min(timed(s2) for _ in range(3))
     per_ntt = (t2 - t1) / ((i2 - i1) * r)   # slope: seconds per transform
     per_sec = 1.0 / per_ntt
     print(f"[bench] backend={jax.default_backend()} n={n} r={r}: "
