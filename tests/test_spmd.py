@@ -50,3 +50,18 @@ def test_spmd_encrypt_decrypt_bitexact(setup):
     ct2 = ctx.encrypt(pk2, m, nonce=4)
     np.testing.assert_array_equal(np.asarray(ctx.decrypt(sk2, ct2)),
                                   np.asarray(m))
+
+
+def test_spmd_nonce_matches_single_chip(setup):
+    """Counter-mode keystream slicing must give the same draws as the
+    single-chip path for ANY nonce, not just the deterministic default."""
+    params, ref, ctx = setup
+    sk_r, pk_r = ref.keygen(nonce=3)
+    sk_s, pk_s = ctx.keygen(nonce=3)
+    np.testing.assert_array_equal(np.asarray(sk_s), np.asarray(sk_r))
+    np.testing.assert_array_equal(np.asarray(pk_s), np.asarray(pk_r))
+    m = jnp.asarray(np.arange(params.n, dtype=np.uint64) % params.t)
+    ct_r = ref.encrypt(pk_r, m, nonce=9)
+    ct_s = ctx.encrypt(pk_s, m, nonce=9)
+    np.testing.assert_array_equal(
+        np.asarray(ct_s)[:, : params.r - 1], np.asarray(ct_r))
