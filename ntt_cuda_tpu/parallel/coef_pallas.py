@@ -58,9 +58,10 @@ def _gather_shard_tables(q: int, psi: int, n: int, C: int):
             m *= 2
     tc_c = np.stack([tc[:, c * n1_l:(c + 1) * n1_l] for c in range(C)])
     tci_c = np.stack([tci[:, c * n1_l:(c + 1) * n1_l] for c in range(C)])
+    tcir_c = np.stack([tcir[:, c * n1_l:(c + 1) * n1_l] for c in range(C)])
     tb_c = np.broadcast_to(tb, (C,) + tb.shape).copy()
     tbi_c = np.broadcast_to(tbi, (C,) + tbi.shape).copy()
-    return ta_c, tc_c, tb_c, tai_c, tci_c, tbi_c, qconst
+    return ta_c, tc_c, tb_c, tai_c, tci_c, tbi_c, qconst, tcir_c
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +80,7 @@ class CoefShardedNTT:
     tci: jax.Array
     tbi: jax.Array
     qconst: jax.Array         # (r, 8) u32, P('rns', None)
+    tcir: jax.Array           # fused-dyadic fix tables (coef-sliced)
     psi_mont: jax.Array       # (r, n) Montgomery twiddles (cross stages)
     psiinv_mont: jax.Array
     q: jax.Array              # (r, 1)
@@ -108,6 +110,8 @@ class CoefShardedNTT:
             tbi=put(stack(5), RNS_AXIS, COEF_AXIS),
             qconst=put(jnp.asarray(np.stack([p[6] for p in parts])),
                        RNS_AXIS, None),
+            tcir=put(jnp.asarray(np.stack([p[7] for p in parts])),
+                     RNS_AXIS, COEF_AXIS),
             psi_mont=put(tabs.psi_mont, RNS_AXIS, None),
             psiinv_mont=put(tabs.psiinv_mont, RNS_AXIS, None),
             q=put(ms.q, RNS_AXIS, None),
@@ -115,14 +119,15 @@ class CoefShardedNTT:
             interpret=interpret,
         )
 
-    def _ftab_local(self, ta, tc, tb, tai, tci, tbi, qconst):
+    def _ftab_local(self, ta, tc, tb, tai, tci, tbi, qconst, tcir=None):
         """Reassemble a local FourStepTables from shard_map-sliced arrays
         ((r_loc, 1, 4, n1_l, N2) -> (r_loc, 4, n1_l, N2))."""
         n_l = self.n // self.C
         sq = lambda a: a[:, 0]
         return ntt_pallas.FourStepTables(
             ta=sq(ta), tc=sq(tc), tb=sq(tb), tai=sq(tai), tci=sq(tci),
-            tbi=sq(tbi), qconst=qconst, tcir=sq(tci),  # tcir unused here
+            tbi=sq(tbi), qconst=qconst,
+            tcir=sq(tcir if tcir is not None else tci),
             n=n_l, n1=n_l // N2)
 
     def forward(self, x):
@@ -180,3 +185,46 @@ class CoefShardedNTT:
         return jax.jit(fn)(x, self.psiinv_mont, self.q, self.qinv, self.ta,
                            self.tc, self.tb, self.tai, self.tci, self.tbi,
                            self.qconst)
+
+
+def cross_fwd(x, pm, q, qinv, n: int, C: int, block):
+    """The log2(C) cross-shard CT stages (call inside shard_map)."""
+    for s in range(C.bit_length() - 1):
+        x = sharded._cross_forward_stage(x, pm, q, qinv, n, C, s, block)
+    return x
+
+
+def cross_inv(x, pm, q, qinv, n: int, C: int, block):
+    """The log2(C) cross-shard GS stages (after the local inverse)."""
+    for s in reversed(range(C.bit_length() - 1)):
+        x = sharded._cross_inverse_stage(x, pm, q, qinv, n, C, s, block)
+    return x
+
+
+def _inverse_mul_method(self, x, y):
+    """INTT(x (.) y) under coefficient sharding: the fused dyadic+local
+    INTT kernel per shard (the dyadic is elementwise, so it commutes with
+    the sharding), then the cross GS stages."""
+    C, n = self.C, self.n
+    interp = self.interpret
+
+    def f(x, y, pm, q, qinv, ta, tc, tb, tai, tci, tbi, qc, tcir):
+        block = jax.lax.axis_index(COEF_AXIS)
+        ftab = self._ftab_local(ta, tc, tb, tai, tci, tbi, qc, tcir)
+        x = ntt_pallas.ntt_inverse_mul(x, y, ftab, interpret=interp)
+        return cross_inv(x, pm, q, qinv, n, C, block)
+
+    row = P(RNS_AXIS, None)
+    both = P(RNS_AXIS, COEF_AXIS)
+    fn = shard_map(
+        f, mesh=self.mesh,
+        in_specs=(both, both, row, row, row,
+                  both, both, both, both, both, both, row, both),
+        out_specs=both,
+        check_vma=False)
+    return jax.jit(fn)(x, y, self.psiinv_mont, self.q, self.qinv, self.ta,
+                       self.tc, self.tb, self.tai, self.tci, self.tbi,
+                       self.qconst, self.tcir)
+
+
+CoefShardedNTT.inverse_mul = _inverse_mul_method

@@ -55,3 +55,22 @@ def test_coef_pallas_rns_batch(rng):
                         mesh_mod.residue_sharding(m, shard_coef=True))
     got = np.asarray(ctx.forward(xs))
     np.testing.assert_array_equal(got, ref)
+
+
+@requires_8dev
+def test_coef_pallas_inverse_mul(rng):
+    """Fused dyadic + local INTT + cross stages == dyadic_mul + ntt_inverse."""
+    n = 2048
+    q, psi, _, _, _ = get_params(n)
+    tables = ntt.NTTTables.build([q], [psi], n)
+    ms = modmath.ModulusSet.from_moduli([q])
+    m = mesh_mod.make_mesh(rns=1, coef=4)
+    ctx = coef_pallas.CoefShardedNTT.build([q], [psi], n, m, interpret=True)
+    x = rng.integers(0, q, n, dtype=np.uint64)[None, :]
+    y = rng.integers(0, q, n, dtype=np.uint64)[None, :]
+    ref = np.asarray(ntt.ntt_inverse_jit(
+        ntt.dyadic_mul(jnp.asarray(x), jnp.asarray(y), ms), tables, ms))
+    sh = mesh_mod.residue_sharding(m, shard_coef=True)
+    got = np.asarray(ctx.inverse_mul(jax.device_put(jnp.asarray(x), sh),
+                                     jax.device_put(jnp.asarray(y), sh)))
+    np.testing.assert_array_equal(got, ref)
