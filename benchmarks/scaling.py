@@ -43,7 +43,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1 << 17)
     ap.add_argument("--r", type=int, default=8)
     ap.add_argument("--op", default="ntt",
-                    choices=["ntt", "bfv", "bfv-spmd"])
+                    choices=["ntt", "bfv", "bfv-spmd", "bfv-spmd2d"])
     ap.add_argument("--qbits", type=int, default=55)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual devices; overrides "
@@ -84,7 +84,21 @@ def main() -> None:
         ndev = rns_ax * coef_ax
         mesh = mesh_mod.make_mesh(rns=rns_ax, coef=coef_ax,
                                   devices=devs[:ndev])
-        if args.op == "bfv-spmd":
+        if args.op == "bfv-spmd2d":
+            # full 2-D program: fused kernels per (modulus, coef) shard
+            from ntt_cuda_tpu.parallel import mesh as mesh_mod, spmd2d
+            try:
+                mesh2 = mesh_mod.make_mesh(rns=rns_ax, coef=coef_ax,
+                                           devices=devs[:ndev])
+                sctx = spmd2d.Spmd2DBFVContext.build(params, mesh2)
+            except ValueError as e:
+                print(f"skip mesh ({rns_ax},{coef_ax}): {e}",
+                      file=sys.stderr)
+                continue
+            sk, pk = sctx.keygen()
+            m = jnp.asarray(np.arange(n, dtype=np.uint64) % params.t)
+            dt = _bench(sctx.encrypt, (pk, m))
+        elif args.op == "bfv-spmd":
             # explicit shard_map pipeline: rns-only mesh, fused Pallas
             # kernels per shard (the production multi-chip path)
             from ntt_cuda_tpu.parallel import spmd
