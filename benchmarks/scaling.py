@@ -86,16 +86,14 @@ def main() -> None:
                                   devices=devs[:ndev])
         if args.op == "bfv-spmd2d":
             # full 2-D program: fused kernels per (modulus, coef) shard
-            from ntt_cuda_tpu.parallel import mesh as mesh_mod, spmd2d
+            from ntt_cuda_tpu.parallel import spmd2d
             try:
-                mesh2 = mesh_mod.make_mesh(rns=rns_ax, coef=coef_ax,
-                                           devices=devs[:ndev])
-                sctx = spmd2d.Spmd2DBFVContext.build(params, mesh2)
+                sctx = spmd2d.Spmd2DBFVContext.build(params, mesh)
             except ValueError as e:
                 print(f"skip mesh ({rns_ax},{coef_ax}): {e}",
                       file=sys.stderr)
                 continue
-            sk, pk = sctx.keygen()
+            _, pk = sctx.keygen()
             m = jnp.asarray(np.arange(n, dtype=np.uint64) % params.t)
             dt = _bench(sctx.encrypt, (pk, m))
         elif args.op == "bfv-spmd":
@@ -106,7 +104,7 @@ def main() -> None:
                 continue
             sctx = spmd.SpmdBFVContext.build(params,
                                              devices=devs[:rns_ax])
-            sk, pk = sctx.keygen()
+            _, pk = sctx.keygen()
             m = jnp.asarray(np.arange(n, dtype=np.uint64) % params.t)
             dt = _bench(sctx.encrypt, (pk, m))
         elif args.op == "ntt":
@@ -123,7 +121,7 @@ def main() -> None:
             dt = _bench(fwd, (xs, tab, qd, qi))
         else:
             sctx = rns_mod.ShardedBFVContext.build(params, mesh)
-            sk, pk = sctx.keygen()
+            _, pk = sctx.keygen()
             m = jnp.asarray(np.arange(n, dtype=np.uint64) % params.t)
             dt = _bench(sctx.encrypt, (pk, m))
         rate = 1.0 / dt

@@ -174,14 +174,15 @@ def cmd_keygen_test(args) -> int:
 
     nbytes = args.samples
     ks = np.asarray(salsa20.keystream_for_bytes(nbytes)).view(np.uint8)[:nbytes]
-    # convert_ternary (distributions.cuh:204-218): byte / (256/3) -> {0,1,2}
-    vals = np.minimum(ks // 85, 2).astype(np.int64) - 1
-    hist = {v: int(np.sum(vals == v)) for v in (-1, 0, 1)}
+    # convert_ternary exactly as the sampler ships it (ops/sampling.py:49,
+    # bfv_keygen.cuh:29-30): byte // 85 - 1 in {-1, 0, 1, 2} — byte 255
+    # emits residue 2 (the reference's quirk), NOT a clamped 1.
+    vals = ks.astype(np.int64) // 85 - 1
+    hist = {v: int(np.sum(vals == v)) for v in (-1, 0, 1, 2)}
     total = sum(hist.values())
     print(f"[keygen-test] {total} ternary samples: {hist}")
-    # 85/256, 86/256, 85/256 expected (bytes 0..84 -> -1, 85..169 -> 0,
-    # 170..254 -> 1, 255 -> clamped to 1 by min(...,2))
-    p = {-1: 85 / 256, 0: 85 / 256, 1: 86 / 256}
+    # bytes 0..84 -> -1, 85..169 -> 0, 170..254 -> 1, 255 -> 2
+    p = {-1: 85 / 256, 0: 85 / 256, 1: 85 / 256, 2: 1 / 256}
     ok = True
     for v, cnt in hist.items():
         mu = total * p[v]

@@ -126,7 +126,10 @@ class BFVContext:
         ciphertext (2, r-1, n), coefficient domain.
 
         Pass a distinct `nonce` per message for fresh (u, e0, e1) draws;
-        nonce 0 reproduces the reference's fixed-randomness pipeline."""
+        nonce 0 reproduces the reference's fixed-randomness pipeline.
+        NEVER reuse the keygen nonce here: keygen's `s` and encryption's
+        `u` read the same keystream region, so equal nonces make u == s
+        (see ops/sampling.py warning)."""
         return _encrypt_jit(jnp.asarray(nonce, U64), pk, m_poly,
                             self.ms_full, self.ms_drop,
                             self.ms_last, self.tables_full, self.ftab_full,

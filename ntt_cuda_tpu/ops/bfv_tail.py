@@ -500,13 +500,50 @@ def decrypt_tail_partial(x, ct0, consts: DecTailConsts,
     return ot.reshape(n), xg
 
 
+def combine_gamma_halves(lo_sum, hi_sum, params):
+    """Recombine split-psum'd gamma-row partial sums mod gamma.
+
+    Each shard's gamma partial is < gamma ~ 2^61, so a direct u64 psum
+    silently wraps once R * gamma >= 2^64 (R > 8 for the published gamma,
+    poly_arithmetic.cuh:237-251).  Shards therefore psum the 32-bit
+    HALVES of their partials (half sums < R * 2^32 — safe to R = 2^32)
+    and this recombines: total = hi * 2^32 + lo (mod gamma), computed as
+    mont_mul(hi mod gamma, Mont(2^32)) + (lo mod gamma) < 2^63.
+    Everything downstream is mod gamma, so the result is bit-identical to
+    the reference's sequential accumulation for any shard count."""
+    from . import modmath
+    g = params.gamma
+    gq = jnp.uint64(g)
+    nu = jnp.uint64((1 << 64) // g)
+    qinv = jnp.uint64(hm.mont_qinv_neg(g))
+    two32_mont = jnp.uint64(hm.to_mont(1 << 32, g))
+    hi_m = modmath.mont_mul(modmath.mod_u64(hi_sum, gq, nu), two32_mont,
+                            gq, qinv)
+    return hi_m + modmath.mod_u64(lo_sum, gq, nu)
+
+
+def psum_behz_partials(x_t, x_g, axis_name, params):
+    """psum the per-shard BEHZ partials across the rns mesh axis, safely
+    for ANY shard count R (see combine_gamma_halves).
+
+    One stacked (3, n) all-reduce: [x_t widened to u64, x_g low half,
+    x_g high half].  Only the low log2(t) bits of the x_t sum are
+    consumed downstream (t < 2^32), so the u64 widening is exact for any
+    R < 2^32."""
+    parts = jnp.stack([x_t.astype(jnp.uint64),
+                       x_g & jnp.uint64(0xFFFFFFFF),
+                       x_g >> jnp.uint64(32)])
+    sums = jax.lax.psum(parts, axis_name)
+    return sums[0], combine_gamma_halves(sums[1], sums[2], params)
+
+
 def dec_round_from_sums(x_t_sum, x_g_sum, params):
     """Finish decryption from psum'd BEHZ sums (jnp, (n,) elementwise).
 
     x_t_sum: wrapping-u32 sum of masked t-row partials across ALL kept
-    residues; x_g_sum: u64 sum of gamma-row partials (each < gamma; the
-    total must stay < 2^64, i.e. #shards * gamma — fine for <= 8 shards).
-    Bit-identical to the fused decrypt_tail finisher."""
+    residues; x_g_sum: any u64 representative of the gamma-row total mod
+    gamma (use psum_behz_partials to build it overflow-safely for any
+    shard count).  Bit-identical to the fused decrypt_tail finisher."""
     from . import modmath
     g = params.gamma
     t = params.t

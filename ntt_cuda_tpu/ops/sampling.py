@@ -29,6 +29,17 @@ Spec deviations from the reference (documented, deliberate):
   thresholds (85/170/255, since 255/3 = 85.0f and k*85/85.0f rounds
   exactly); byte == 255 yields b == 2 — a reference quirk we preserve
   bit-for-bit (bfv_keygen.cuh:29-30).
+
+.. warning:: **Keygen and encryption must never share a nonce.**  Both
+  pipelines read the ternary draw from the SAME keystream region (bytes
+  [0, n) under the fixed key, exactly as the reference's
+  generate_random_default does) — so with equal nonces the encryption
+  ephemeral `u` is bit-identical to the secret key `s`, which is a
+  key-recovery-grade hazard.  The reference only ever runs the fixed
+  nonce-0 pipeline once per process (its bit-exactness contract, which
+  nonce=0 here reproduces); any caller using the per-message nonce API
+  for real encryption must draw keygen and encryption nonces from
+  disjoint spaces (e.g. keygen nonce 0, encryption nonces >= 1).
 """
 
 from __future__ import annotations

@@ -10,8 +10,10 @@ cross-chip traffic is
     the SEAL-style modulus drop (divide_and_round, the single cross-RNS
     dependency of encryption), and
   * decrypt — one psum of the BEHZ base-conversion partial sums (x_t
-    wrapping-u32, x_g mod gamma; both associative, so cross-shard psum is
-    bit-identical to the reference's sequential accumulation).
+    widened to u64, x_g split into 32-bit halves so the sum cannot wrap
+    for any shard count; associative recombination mod gamma is
+    bit-identical to the reference's sequential accumulation —
+    bfv_tail.psum_behz_partials).
 
 Keygen has no collectives at all.  Ciphertexts use the reference's
 padding-in-place layout ((2, r, n) with the dropped residue slot garbage,
@@ -186,8 +188,8 @@ class SpmdBFVContext:
             x = ntt_pallas.ntt_inverse_mul(x, skk, ftab, interpret=interp)
             xt, xg = bfv_tail.decrypt_tail_partial(x, ctt[0], dc,
                                                    interpret=interp)
-            xt = jax.lax.psum(xt, "rns")
-            xg = jax.lax.psum(xg, "rns")   # < R * gamma < 2^64 for R <= 8
+            # split-halves psum: overflow-safe for any rns shard count
+            xt, xg = bfv_tail.psum_behz_partials(xt, xg, "rns", p)
             return bfv_tail.dec_round_from_sums(xt, xg, p)
 
         fn = shard_map(dec, mesh=self.mesh,

@@ -248,8 +248,8 @@ class Spmd2DBFVContext:
             x = coef_pallas.cross_inv(x, pmi, q, qinv, n, C, ci)
             xt, xg = bfv_tail.decrypt_tail_partial(x, ctt[0], dc,
                                                    interpret=interp)
-            xt = jax.lax.psum(xt, RNS_AXIS)
-            xg = jax.lax.psum(xg, RNS_AXIS)
+            # split-halves psum: overflow-safe for any rns shard count
+            xt, xg = bfv_tail.psum_behz_partials(xt, xg, RNS_AXIS, p)
             return bfv_tail.dec_round_from_sums(xt, xg, p)
 
         specs = self._table_specs()

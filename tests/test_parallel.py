@@ -69,8 +69,8 @@ def test_sharded_ntt_bitexact_60bit_large(rng):
 
 @requires_8dev
 def test_rns_sharded_bfv_pipeline(rng):
-    """GSPMD rns-axis sharding of keygen/encrypt (r=4 over rns=2) matches
-    the unsharded pipeline bit-exactly; decrypt runs rns-replicated."""
+    """GSPMD rns-axis sharding of keygen/encrypt/decrypt (r=4 over rns=2)
+    matches the unsharded pipeline bit-exactly."""
     p = get_bfv_params("8k_4q")
     ctx = bfv.BFVContext.build(p)
     sk_ref, pk_ref = ctx.keygen()
@@ -84,8 +84,10 @@ def test_rns_sharded_bfv_pipeline(rng):
     np.testing.assert_array_equal(np.asarray(pk_s), np.asarray(pk_ref))
     ct_s = sctx.encrypt(pk_s, jnp.asarray(m))
     np.testing.assert_array_equal(np.asarray(ct_s), np.asarray(ct_ref))
-    got = np.asarray(ctx.decrypt(sk_s, ct_s))
+    got = np.asarray(sctx.decrypt(sk_s, ct_s))   # the sharded decrypt path
     np.testing.assert_array_equal(got, m)
+    got_ref = np.asarray(ctx.decrypt(sk_s, ct_s))
+    np.testing.assert_array_equal(got_ref, m)
 
 
 def test_primegen_params_roundtrip(rng):
