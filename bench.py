@@ -1,20 +1,26 @@
-"""Benchmark: NTT throughput per chip at N=2^15, 60-bit modulus family.
+"""Benchmark: the reference's headline metrics on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "detail": ...}
 
-Baseline: the reference's Tesla V100 forward-NTT latency at N=2^15,
-55-bit modulus — 39 us/transform => 25,641 NTT/s/device (Article.pdf
-Table 6 + Conclusion; BASELINE.md).
+value / vs_baseline carry the headline forward-NTT throughput (N=2^15,
+55-bit family, Article.pdf Table 6: 39 us on V100 => 25,641 NTT/s).  The
+"detail" object carries every other published anchor, each with its own
+vs_baseline (>1 = faster than the V100 number):
 
-Methodology: the fused four-step Pallas kernel (ops/ntt_pallas.py) runs
-over the 16-modulus RNS batch of the reference's 32k/16q parameter set,
-chained `inner` times inside one jit.  The measurement environment
-dispatches through a network relay with O(10 ms) per-dispatch overhead,
-so per-transform time is taken as the SLOPE between two inner-counts
-(removing the constant dispatch cost), the standard two-point
-amortization.  Completion is forced with a scalar fetch (block_until_ready
-does not synchronize through the relay).
+  * inverse NTT at N=2^15 (Table 6: 23 us), and
+  * BFV keygen / encrypt / decrypt per-op latency for all five Table 7
+    parameter sets (BASELINE.md:37-45).
+
+The same JSON is also written to bench_detail.json.
+
+Methodology (NOTES_NEXT_ROUND.md): the measurement environment dispatches
+through a network relay with O(10 ms) per-dispatch overhead and
+heavy-tailed jitter, so per-op time is the SLOPE between two chained
+iteration counts inside one jit (lax.fori_loop with a *dynamic* trip
+count — one compile per op), min over epochs, every output consumed (XLA
+DCE silently drops dead pipelines).  Set BENCH_SETS=32k_9q (comma list)
+to restrict the BFV sweep, BENCH_NTT_ONLY=1 to skip it.
 """
 
 import json
@@ -27,59 +33,156 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
-BASELINE_NTT_PER_SEC = 1e6 / 39.0  # V100, Table 6
+BASELINE_NTT_US = 39.0      # V100, Table 6, n=2^15, 55-bit
+BASELINE_INTT_US = 23.0     # V100, Table 6
+# V100 Table 7 (us): keygen, encrypt, decrypt per parameter set
+BASELINE_BFV_US = {
+    "4k_3q": (123.86, 85.82, 79.46),
+    "8k_4q": (135.81, 99.93, 87.46),
+    "16k_5q": (176.64, 119.26, 104.13),
+    "32k_9q": (273.73, 276.10, 160.05),
+    "32k_16q": (427.81, 514.73, 246.48),
+}
 
 
-def main() -> None:
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_transforms():
+    """Forward + inverse NTT us/transform over the 16-modulus RNS batch of
+    the 32k/16q set (the reference's largest constant-bank configuration),
+    via the fused Pallas kernels."""
     import jax
     import jax.numpy as jnp
     from ntt_cuda_tpu.ops import ntt_pallas
     from ntt_cuda_tpu.params import get_bfv_params
+    from ntt_cuda_tpu.utils import profiling
 
-    p = get_bfv_params("32k_16q")  # 16 distinct ~55-bit moduli, n = 2^15
+    p = get_bfv_params("32k_16q")
     n, r = p.n, p.r
     ftab = ntt_pallas.tables_for(p)
     rng = np.random.default_rng(0)
-    x = np.stack([rng.integers(0, p.q[i], n, dtype=np.uint64) for i in range(r)])
+    x = np.stack([rng.integers(0, p.q[i], n, dtype=np.uint64)
+                  for i in range(r)])
     xj = jnp.asarray(x)
-    mod_idx = jnp.asarray(np.arange(r, dtype=np.int32))
 
-    def make_step(inner):
+    def make(inverse):
         @jax.jit
-        def step(y):
+        def step(y, k):
             def body(_, z):
-                return ntt_pallas.ntt_forward(z, ftab, mod_idx)
-            return jax.lax.fori_loop(0, inner, body, y)
+                if inverse:
+                    return ntt_pallas.ntt_inverse(z, ftab)
+                return ntt_pallas.ntt_forward(z, ftab)
+            return jax.lax.fori_loop(0, k, body, y)
         return step
 
-    def timed(step, reps=3):
-        o = step(xj)
-        _ = float(jnp.sum(o[0, :2].astype(jnp.float64)))  # sync (relay-safe)
+    out = {}
+    for name, inverse in (("ntt", False), ("intt", True)):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            o = step(xj)
-        _ = float(jnp.sum(o[0, :2].astype(jnp.float64)))
-        return (time.perf_counter() - t0) / reps
+        per_batch = profiling.time_chained_dynamic(
+            make(inverse), xj, inner_lo=32, inner_hi=128, reps=3, epochs=3)
+        us = per_batch / r * 1e6
+        _log(f"[bench] {name}: {us:.2f} us/transform "
+             f"(measured in {time.perf_counter()-t0:.0f}s)")
+        out[name] = us
+    return out
 
-    i1, i2 = 32, 128
-    s1, s2 = make_step(i1), make_step(i2)
-    # min over repeats: the relay adds heavy-tailed positive noise
-    t1 = min(timed(s1) for _ in range(3))
-    t2 = min(timed(s2) for _ in range(3))
-    per_ntt = (t2 - t1) / ((i2 - i1) * r)   # slope: seconds per transform
-    per_sec = 1.0 / per_ntt
-    print(f"[bench] backend={jax.default_backend()} n={n} r={r}: "
-          f"inner16={t1*1e3:.1f}ms inner64={t2*1e3:.1f}ms -> "
-          f"{per_ntt*1e6:.2f} us/NTT, {per_sec:,.0f} NTT/s "
-          f"(dispatch overhead {((t1 - (t2-t1)/3))*1e3:.1f} ms excluded)",
-          file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "NTT/s/chip @ N=2^15, 55-bit q (fused pallas, 16-modulus batch)",
-        "value": round(per_sec, 1),
+def bench_bfv(set_names):
+    """Table 7 per-op latency: keygen / encrypt / decrypt us for each
+    parameter set, chained-slope methodology (nonce / data threading
+    defeats loop-invariant hoisting; all outputs consumed)."""
+    import jax
+    import jax.numpy as jnp
+    from ntt_cuda_tpu.models import bfv
+    from ntt_cuda_tpu.params import get_bfv_params
+    from ntt_cuda_tpu.utils import profiling
+
+    results = {}
+    for name in set_names:
+        p = get_bfv_params(name)
+        ctx = bfv.BFVContext.build(p)
+        n, r = p.n, p.r
+        m = jnp.asarray(np.arange(n, dtype=np.uint64) % p.t)
+        q0 = jnp.uint64(p.q[0])
+        t0 = time.perf_counter()
+        sk, pk = ctx.keygen()
+        ct = ctx.encrypt(pk, m)
+
+        @jax.jit
+        def kg_step(seed, k):
+            def body(_, s):
+                skk, pkk = ctx.keygen(nonce=s)
+                # consume sk AND pk: XLA DCEs 2 of keygen's 3 NTT batches
+                # otherwise
+                return skk[0, 0] + pkk[0, 0, 0] + pkk[1, 0, 0]
+            return jax.lax.fori_loop(0, k, body, seed)
+
+        @jax.jit
+        def enc_step(c, k):
+            def body(_, cc):
+                return ctx.encrypt(pk, m, nonce=cc[0, 0, 0])
+            return jax.lax.fori_loop(0, k, body, c)
+
+        @jax.jit
+        def dec_step(c, k):
+            def body(_, cc):
+                out = ctx.decrypt(sk, cc)
+                return cc.at[0, 0, 0].set((cc[0, 0, 0] + out[0]) % q0)
+            return jax.lax.fori_loop(0, k, body, c)
+
+        hi = max(64, (1 << 24) // (n * r))
+        lo = hi // 8
+        kw = dict(inner_lo=lo, inner_hi=hi, reps=3, epochs=3)
+        t_kg = profiling.time_chained_dynamic(kg_step, jnp.uint64(1), **kw)
+        t_enc = profiling.time_chained_dynamic(enc_step, ct, **kw)
+        t_dec = profiling.time_chained_dynamic(dec_step, ct, **kw)
+        b_kg, b_enc, b_dec = BASELINE_BFV_US[name]
+        results[name] = {
+            "keygen_us": round(t_kg * 1e6, 2),
+            "encrypt_us": round(t_enc * 1e6, 2),
+            "decrypt_us": round(t_dec * 1e6, 2),
+            "keygen_vs_baseline": round(b_kg / (t_kg * 1e6), 3),
+            "encrypt_vs_baseline": round(b_enc / (t_enc * 1e6), 3),
+            "decrypt_vs_baseline": round(b_dec / (t_dec * 1e6), 3),
+        }
+        _log(f"[bench] {name}: kg {t_kg*1e6:.1f} enc {t_enc*1e6:.1f} "
+             f"dec {t_dec*1e6:.1f} us "
+             f"({time.perf_counter()-t0:.0f}s incl. compiles)")
+    return results
+
+
+def main() -> None:
+    import jax
+    _log(f"[bench] backend={jax.default_backend()}")
+
+    tf = bench_transforms()
+    ntt_per_sec = 1e6 / tf["ntt"]
+    detail = {
+        "ntt_us": round(tf["ntt"], 2),
+        "ntt_vs_baseline": round(BASELINE_NTT_US / tf["ntt"], 3),
+        "intt_us": round(tf["intt"], 2),
+        "intt_vs_baseline": round(BASELINE_INTT_US / tf["intt"], 3),
+    }
+    if os.environ.get("BENCH_NTT_ONLY", "") != "1":
+        sets = os.environ.get("BENCH_SETS", "")
+        names = ([s for s in sets.split(",") if s] if sets
+                 else list(BASELINE_BFV_US))
+        detail["bfv_table7"] = bench_bfv(names)
+
+    record = {
+        "metric": "NTT/s/chip @ N=2^15, 55-bit q (fused pallas, "
+                  "16-modulus batch)",
+        "value": round(ntt_per_sec, 1),
         "unit": "transforms/sec",
-        "vs_baseline": round(per_sec / BASELINE_NTT_PER_SEC, 3),
-    }))
+        "vs_baseline": round(tf["ntt"] and BASELINE_NTT_US / tf["ntt"], 3),
+        "detail": detail,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,28 @@ from ..ops import bfv_tail, modmath, ntt, ntt_pallas, poly, sampling
 U64 = jnp.uint64
 
 
+def check_residues(name: str, x, shape: tuple, hint: str = ""):
+    """Validate a residue-tensor argument at the public API boundary:
+    exact shape and an integer dtype, cast to the canonical u64.  Raises
+    immediately with an actionable message instead of failing deep inside
+    kernel reshapes (the reference has no such layer; its raw device
+    pointers simply corrupt)."""
+    try:
+        x = jnp.asarray(x)
+    except (TypeError, ValueError) as e:
+        raise TypeError(f"{name}: expected an array, got "
+                        f"{type(x).__name__} ({e})") from None
+    if not jnp.issubdtype(x.dtype, jnp.integer):
+        raise TypeError(f"{name}: expected an integer array (canonically "
+                        f"uint64), got dtype {x.dtype}")
+    if x.shape != shape:
+        msg = f"{name}: expected shape {shape}, got {x.shape}"
+        if hint:
+            msg += f" — {hint}"
+        raise ValueError(msg)
+    return x.astype(U64)
+
+
 def default_backend() -> str:
     """NTT backend selection: the fused Pallas kernel on TPU, the XLA
     lowering elsewhere (Pallas TPU kernels don't run on the CPU backend
@@ -85,13 +107,24 @@ class BFVContext:
     ftab_drop: ntt_pallas.FourStepTables | None
     tail_consts: bfv_tail.TailConsts | None
     dec_tail_consts: bfv_tail.DecTailConsts | None
+    uniform_spec: str = "int"          # "int" | "fp64" (reference-exact)
 
     @staticmethod
     def build(params: params_mod.BFVParams,
-              backend: str | None = None) -> "BFVContext":
+              backend: str | None = None,
+              uniform_spec: str = "int") -> "BFVContext":
+        """uniform_spec="fp64" makes keygen's uniform draw follow the
+        reference's exact double-precision semantics (bfv_keygen.cuh:33-45,
+        emulated bit-for-bit in integer arithmetic — ops/sampling.py
+        uniform_ref), so keygen output is byte-identical to a CUDA run
+        under the fixed key.  The default "int" spec is the documented
+        integer-exact deviation."""
         backend = backend or default_backend()
+        if uniform_spec not in ("int", "fp64"):
+            raise ValueError(f"unknown uniform_spec {uniform_spec!r}")
         use_pallas = backend != "xla"
         return BFVContext(
+            uniform_spec=uniform_spec,
             params=params,
             ms_full=modmath.modulus_set(params),
             ms_drop=modmath.modulus_set(params, params.r - 1),
@@ -119,7 +152,8 @@ class BFVContext:
         reference's deterministic default."""
         return _keygen_jit(jnp.asarray(nonce, U64), self.ms_full,
                            self.tables_full, self.ftab_full,
-                           self.params.n, self.params.r, self.backend)
+                           self.params.n, self.params.r, self.backend,
+                           self.uniform_spec)
 
     def encrypt(self, pk, m_poly, nonce=0):
         """pk (2, r, n) NTT-domain, m_poly (n,) in [0, t) ->
@@ -130,6 +164,12 @@ class BFVContext:
         NEVER reuse the keygen nonce here: keygen's `s` and encryption's
         `u` read the same keystream region, so equal nonces make u == s
         (see ops/sampling.py warning)."""
+        p = self.params
+        pk = check_residues("pk", pk, (2, p.r, p.n),
+                            "keygen returns the NTT-domain (2, r, n) pk")
+        m_poly = check_residues("m_poly", m_poly, (p.n,),
+                                f"one plaintext value in [0, t) per "
+                                f"coefficient, n={p.n}")
         return _encrypt_jit(jnp.asarray(nonce, U64), pk, m_poly,
                             self.ms_full, self.ms_drop,
                             self.ms_last, self.tables_full, self.ftab_full,
@@ -137,9 +177,18 @@ class BFVContext:
                             self.params.n, self.params.r, self.backend)
 
     def decrypt(self, sk, ct):
-        """sk (r, n) NTT-domain (first r-1 residues used), ct (2, r-1, n)
-        -> plaintext (n,) in [0, t)."""
-        return _decrypt_jit(sk[: self.params.r - 1], ct, self.ms_drop,
+        """sk (r, n) NTT-domain (first r-1 residues used; (r-1, n) also
+        accepted), ct (2, r-1, n) -> plaintext (n,) in [0, t)."""
+        p = self.params
+        sk = jnp.asarray(sk)
+        if sk.ndim == 2 and sk.shape[0] == p.r:
+            sk = sk[: p.r - 1]
+        sk = check_residues("sk", sk, (p.r - 1, p.n),
+                            "keygen returns the NTT-domain (r, n) sk")
+        ct = check_residues("ct", ct, (2, p.r - 1, p.n),
+                            "encrypt returns (2, r-1, n) — the last RNS "
+                            "modulus is dropped")
+        return _decrypt_jit(sk, ct, self.ms_drop,
                             self.tables_drop, self.ftab_drop,
                             self.dec_consts, self.dec_tail_consts,
                             self.backend)
@@ -155,10 +204,13 @@ class BFVContext:
 # Jitted pipelines (static over (n, r); retraced per parameter set).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
-def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str):
+@functools.partial(jax.jit,
+                   static_argnames=("n", "r", "backend", "uniform_spec"))
+def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str,
+                uniform_spec: str = "int"):
     """keygen_rns (bfv_keygen.cuh:95-151)."""
-    s, a, e = sampling.keygen_draws(n, r, ms, nonce=nonce)
+    s, a, e = sampling.keygen_draws(n, r, ms, nonce=nonce,
+                                    uniform_spec=uniform_spec)
     sk = _fwd(s, tables, ftab, ms, backend)             # s kept in NTT domain
     pk0 = _inv_mul(a, sk, tables, ftab, ms, backend)    # INTT(a (.) s-hat)
     pk0 = poly.poly_add_negate(pk0, e, ms)              # -(a*s + e)

@@ -15,7 +15,9 @@ Spec deviations from the reference (documented, deliberate):
   IEEE-exact, so we define the uniform draw as the *integer-exact*
   `floor(u * (q-1) / 2^64)` — one mulhi.  Distributionally at least as
   uniform; deterministic across all backends.  `utils/golden.py`
-  provides both specs.
+  provides both specs.  For byte-identical keygen vs a CUDA run, the
+  fp64 semantics are ALSO implemented exactly (in integer arithmetic) as
+  `uniform_ref` — opt in via BFVContext.build(..., uniform_spec="fp64").
 
 * **Gaussian**: the reference uses CUDA's `normcdfinvf` (an fp32 vendor
   intrinsic with unpublished bit behavior).  We use
@@ -69,6 +71,103 @@ def uniform(u64s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
     return modmath.mulhi_u64(u64s, ms.q - U64(1))
 
 
+# ---------------------------------------------------------------------------
+# Reference-exact fp64 uniform spec (opt-in).
+#
+# The reference computes `d = (double)u; d /= UINT64_MAX; d *= (double)(q-1);
+# out = (unsigned long long)d` (uniform_dist_xq, bfv_keygen.cuh:33-45).
+# TPU f64 is software-emulated and not IEEE-exact, so uniform_ref emulates
+# the IEEE-double data path in exact integer arithmetic instead:
+#
+#   * (double)u           = RNE53(u)        (round-to-nearest-even, 53 bits)
+#   * (double)UINT64_MAX  = 2^64 exactly, so the division is an EXACT
+#     power-of-two scaling (no rounding)
+#   * the multiply        = RNE53(RNE53(u) * RNE53(q-1)) * 2^-64
+#   * the u64 cast        = truncation toward zero => >> 64
+#
+# Every step below reproduces those roundings bit-for-bit (including the
+# quirk that the output can exceed q-1 when q-1 needs more than 53 bits
+# and rounds up).  Validated element-wise against IEEE numpy float64
+# (tests/test_sampling.py).
+# ---------------------------------------------------------------------------
+
+_ONE = jnp.uint64(1)
+
+
+def _bitlen_u64(x):
+    """Bit length of each u64 lane (0 for 0), by binary-search shifts."""
+    n = jnp.zeros_like(x)
+    for k in (32, 16, 8, 4, 2, 1):
+        big = x >= (_ONE << U64(k))
+        n = n + jnp.where(big, U64(k), U64(0))
+        x = jnp.where(big, x >> U64(k), x)
+    return n + (x > 0).astype(U64)
+
+
+def _rne53_u64(x):
+    """RNE53(x) for u64 lanes -> (value, overflowed_to_2_64)."""
+    L = _bitlen_u64(x)
+    shift = jnp.maximum(L, U64(53)) - U64(53)          # 0..11
+    keep = x >> shift
+    rem = x & ((_ONE << shift) - _ONE)
+    half = jnp.where(shift > 0,
+                     _ONE << jnp.minimum(shift - _ONE, U64(63)), U64(0))
+    up = ((rem > half) | ((rem == half) & ((keep & _ONE) == _ONE))) \
+        & (shift > 0)
+    val = keep + up.astype(U64)                        # <= 2^53
+    ov = (L == 64) & (val == (_ONE << U64(53)))
+    return jnp.where(ov, U64(0), val << shift), ov
+
+
+def _rne53_128_shift64(hi, lo):
+    """floor(RNE53(hi * 2^64 + lo) / 2^64) for 128-bit lane pairs."""
+    L = jnp.where(hi > 0, U64(64) + _bitlen_u64(hi), _bitlen_u64(lo))
+    shift = jnp.maximum(L, U64(53)) - U64(53)          # 0..73
+    ge64 = shift >= U64(64)
+    # all shift amounts clamped to [0, 63] — where() evaluates both
+    # branches, and XLA shifts by >= 64 are undefined
+    sh_lo = jnp.minimum(shift, U64(63))
+    sh_hi = jnp.minimum(shift - U64(64), U64(63))      # wraps (clamped) <64
+    keep = jnp.where(
+        ge64, hi >> sh_hi,
+        jnp.where(shift == 0, lo,
+                  (hi << jnp.minimum(U64(64) - sh_lo, U64(63)))
+                  | (lo >> sh_lo)))
+    # rem = prod & (2^shift - 1), half = 2^(shift-1), as 128-bit pairs
+    rem_lo = jnp.where(ge64, lo, lo & ((_ONE << sh_lo) - _ONE))
+    rem_hi = jnp.where(ge64, hi & ((_ONE << sh_hi) - _ONE), U64(0))
+    # half's set bit (index shift-1) lives in lo for shift <= 64, hi for
+    # shift >= 65; all shift amounts clamped in-range (where() evaluates
+    # both branches)
+    half_in_hi = shift >= U64(65)
+    half_lo = jnp.where(half_in_hi | (shift == 0), U64(0),
+                        _ONE << jnp.minimum(shift - _ONE, U64(63)))
+    half_hi = jnp.where(half_in_hi,
+                        _ONE << jnp.minimum(shift - U64(65), U64(63)),
+                        U64(0))
+    gt = (rem_hi > half_hi) | ((rem_hi == half_hi) & (rem_lo > half_lo))
+    eq = (rem_hi == half_hi) & (rem_lo == half_lo)
+    up = ((gt | (eq & ((keep & _ONE) == _ONE))) & (shift > 0)).astype(U64)
+    val = keep + up                                    # <= 2^53
+    # out = val * 2^shift >> 64
+    return jnp.where(ge64, val << sh_hi,
+                     jnp.where(shift == 0, U64(0),
+                               val >> jnp.minimum(U64(64) - shift, U64(63))))
+
+
+def uniform_ref(u64s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
+    """(r, n) u64 words -> (r, n) residues under the reference's EXACT
+    double-precision uniform spec (see block comment above).  Opt-in:
+    BFVContext.build(..., uniform_spec="fp64")."""
+    qd, _ = _rne53_u64(ms.q - _ONE)                    # (r, 1); q-1 < 2^62
+    av, av_ov = _rne53_u64(u64s)
+    hi = modmath.mulhi_u64(av, qd)
+    lo = av * qd
+    hi = jnp.where(av_ov, qd, hi)                      # RNE53(u) == 2^64
+    lo = jnp.where(av_ov, U64(0), lo)
+    return _rne53_128_shift64(hi, lo)
+
+
 def gaussian(u32s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
     """(n,) u32 words -> (r, n) discrete-Gaussian residues; same draw for
     every modulus (gaussian_dist_xq reads in[i % n]).
@@ -104,15 +203,21 @@ def keygen_entropy_bytes(n: int, r: int) -> int:
 
 
 def keygen_draws(n: int, r: int, ms: modmath.ModulusSet,
-                 key_byte: int = salsa20.DEFAULT_KEY_BYTE, nonce=0):
+                 key_byte: int = salsa20.DEFAULT_KEY_BYTE, nonce=0,
+                 uniform_spec: str = "int"):
     """Sample (s, a, e) for keygen with the reference's byte layout
     (bfv_keygen.cuh:120-122): ternary bytes at 0, uniform u64 lanes at
-    byte offset n, gaussian u32 lanes at byte offset n + 8*r*n."""
+    byte offset n, gaussian u32 lanes at byte offset n + 8*r*n.
+
+    uniform_spec: "int" (default; the integer-exact mulhi spec) or
+    "fp64" (the reference's exact double-precision semantics, emulated
+    bit-for-bit — uniform_ref)."""
     nbytes = keygen_entropy_bytes(n, r)
     bw = salsa20.keystream_block_words((nbytes + 63) // 64,
                                        key_byte=key_byte, nonce=nonce)
     s = ternary(salsa20.block_words_u8(bw, 0, n), ms)
-    a = uniform(salsa20.block_words_u64(bw, n, r * n).reshape(r, n), ms)
+    ufn = uniform_ref if uniform_spec == "fp64" else uniform
+    a = ufn(salsa20.block_words_u64(bw, n, r * n).reshape(r, n), ms)
     e = gaussian(salsa20.block_words_u32(bw, n + 8 * r * n, n), ms)
     return s, a, e
 

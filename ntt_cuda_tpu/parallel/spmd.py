@@ -97,11 +97,25 @@ class SpmdBFVContext:
                 jax.tree.map(spec_of, self.dec_consts))
 
     # -- pipelines ----------------------------------------------------------
+    #
+    # Each pipeline is exposed both as an executing method and as a
+    # `lowered_*` variant returning the jax Lowered object, so tests (and
+    # users) can inspect the compiled HLO and assert the communication
+    # structure — exactly the designed collectives, nothing inserted by
+    # GSPMD (tests/test_collectives.py).
 
     def keygen(self, nonce=0):
         """-> sk (r, n) P('rns', None), pk (2, r, n) P(None, 'rns', None).
         Zero collectives: s/e draws are shard-replicated compute; each
         shard generates its own uniform keystream slice (counter mode)."""
+        fn, args = self._keygen_program(nonce)
+        return fn(*args)
+
+    def lowered_keygen(self, nonce=0):
+        fn, args = self._keygen_program(nonce)
+        return fn.lower(*args)
+
+    def _keygen_program(self, nonce):
         p = self.params
         n, r = p.n, p.r
         R = self.mesh.shape["rns"]
@@ -131,11 +145,23 @@ class SpmdBFVContext:
                        in_specs=(P(), ms_spec, ftab_spec),
                        out_specs=(P("rns", None), P(None, "rns", None)),
                        check_vma=False)
-        return jax.jit(fn)(jnp.asarray(nonce, U64), self.ms, self.ftab)
+        return jax.jit(fn), (jnp.asarray(nonce, U64), self.ms, self.ftab)
 
     def encrypt(self, pk, m_poly, nonce=0):
         """pk (2, r, n) NTT-domain -> padded ciphertext (2, r, n), the
         global-last residue slot garbage (reference layout).  One psum."""
+        from ..models.bfv import check_residues
+        p = self.params
+        pk = check_residues("pk", pk, (2, p.r, p.n))
+        m_poly = check_residues("m_poly", m_poly, (p.n,))
+        fn, args = self._encrypt_program(pk, m_poly, nonce)
+        return fn(*args)
+
+    def lowered_encrypt(self, pk, m_poly, nonce=0):
+        fn, args = self._encrypt_program(pk, m_poly, nonce)
+        return fn.lower(*args)
+
+    def _encrypt_program(self, pk, m_poly, nonce):
         p = self.params
         n, r = p.n, p.r
         R = self.mesh.shape["rns"]
@@ -172,13 +198,27 @@ class SpmdBFVContext:
                                  ms_spec, ftab_spec, tail_spec),
                        out_specs=P(None, "rns", None),
                        check_vma=False)
-        return jax.jit(fn)(jnp.asarray(nonce, U64), pk,
-                           jnp.asarray(m_poly, U64), self.ms, self.ftab,
-                           self.tail_consts)
+        return jax.jit(fn), (jnp.asarray(nonce, U64), pk,
+                             jnp.asarray(m_poly, U64), self.ms, self.ftab,
+                             self.tail_consts)
 
     def decrypt(self, sk, ct):
         """sk (r, n) NTT-domain, ct (2, r, n) padded -> (n,) plaintext,
         replicated.  One psum of the BEHZ partials."""
+        from ..models.bfv import check_residues
+        p = self.params
+        sk = check_residues("sk", sk, (p.r, p.n))
+        ct = check_residues("ct", ct, (2, p.r, p.n),
+                            "SPMD ciphertexts use the padded (2, r, n) "
+                            "reference layout")
+        fn, args = self._decrypt_program(sk, ct)
+        return fn(*args)
+
+    def lowered_decrypt(self, sk, ct):
+        fn, args = self._decrypt_program(sk, ct)
+        return fn.lower(*args)
+
+    def _decrypt_program(self, sk, ct):
         p = self.params
         interp = self.interpret
         ms_spec, ftab_spec, _, dec_spec = self._specs()
@@ -197,4 +237,4 @@ class SpmdBFVContext:
                                  ms_spec, ftab_spec, dec_spec),
                        out_specs=P(),
                        check_vma=False)
-        return jax.jit(fn)(sk, ct, self.ms, self.ftab, self.dec_consts)
+        return jax.jit(fn), (sk, ct, self.ms, self.ftab, self.dec_consts)

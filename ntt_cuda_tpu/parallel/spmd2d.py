@@ -157,6 +157,16 @@ class Spmd2DBFVContext:
     # -- pipelines -------------------------------------------------------------
 
     def keygen(self, nonce=0):
+        fn, args = self._keygen_program(nonce)
+        return fn(*args)
+
+    def lowered_keygen(self, nonce=0):
+        """jax Lowered of the keygen program (for collective-structure
+        introspection; tests/test_collectives.py)."""
+        fn, args = self._keygen_program(nonce)
+        return fn.lower(*args)
+
+    def _keygen_program(self, nonce):
         p = self.params
         n, r = p.n, p.r
         R, C = self.mesh.shape[RNS_AXIS], self.mesh.shape[COEF_AXIS]
@@ -186,9 +196,22 @@ class Spmd2DBFVContext:
             in_specs=(P(), self._ms_spec()) + specs,
             out_specs=(P(RNS_AXIS, COEF_AXIS), P(None, RNS_AXIS, COEF_AXIS)),
             check_vma=False)
-        return jax.jit(fn)(jnp.asarray(nonce, U64), self.ms, *self._tables())
+        return jax.jit(fn), ((jnp.asarray(nonce, U64), self.ms)
+                             + self._tables())
 
     def encrypt(self, pk, m_poly, nonce=0):
+        from ..models.bfv import check_residues
+        p = self.params
+        pk = check_residues("pk", pk, (2, p.r, p.n))
+        m_poly = check_residues("m_poly", m_poly, (p.n,))
+        fn, args = self._encrypt_program(pk, m_poly, nonce)
+        return fn(*args)
+
+    def lowered_encrypt(self, pk, m_poly, nonce=0):
+        fn, args = self._encrypt_program(pk, m_poly, nonce)
+        return fn.lower(*args)
+
+    def _encrypt_program(self, pk, m_poly, nonce):
         p = self.params
         n, r = p.n, p.r
         R, C = self.mesh.shape[RNS_AXIS], self.mesh.shape[COEF_AXIS]
@@ -227,11 +250,25 @@ class Spmd2DBFVContext:
                      + specs,
             out_specs=P(None, RNS_AXIS, COEF_AXIS),
             check_vma=False)
-        return jax.jit(fn)(jnp.asarray(nonce, U64), pk,
-                           jnp.asarray(m_poly, U64), self.ms,
-                           self.tail_consts, *self._tables())
+        return jax.jit(fn), ((jnp.asarray(nonce, U64), pk,
+                              jnp.asarray(m_poly, U64), self.ms,
+                              self.tail_consts) + self._tables())
 
     def decrypt(self, sk, ct):
+        from ..models.bfv import check_residues
+        p = self.params
+        sk = check_residues("sk", sk, (p.r, p.n))
+        ct = check_residues("ct", ct, (2, p.r, p.n),
+                            "SPMD ciphertexts use the padded (2, r, n) "
+                            "reference layout")
+        fn, args = self._decrypt_program(sk, ct)
+        return fn(*args)
+
+    def lowered_decrypt(self, sk, ct):
+        fn, args = self._decrypt_program(sk, ct)
+        return fn.lower(*args)
+
+    def _decrypt_program(self, sk, ct):
         p = self.params
         n = p.n
         C = self.mesh.shape[COEF_AXIS]
@@ -259,4 +296,4 @@ class Spmd2DBFVContext:
                       self._consts_spec(self.dec_consts)) + specs,
             out_specs=P(COEF_AXIS),
             check_vma=False)
-        return jax.jit(fn)(sk, ct, self.dec_consts, *self._tables())
+        return jax.jit(fn), (sk, ct, self.dec_consts) + self._tables()

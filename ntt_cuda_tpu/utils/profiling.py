@@ -51,6 +51,35 @@ def time_chained(make_step, x, inner_lo: int = 4, inner_hi: int = 16,
     return max((t_hi - t_lo) / (inner_hi - inner_lo), 0.0)
 
 
+def time_chained_dynamic(step, x, inner_lo: int = 4, inner_hi: int = 16,
+                         reps: int = 3, epochs: int = 3) -> float:
+    """Like time_chained, but `step(x, inner)` takes the chain length as a
+    TRACED scalar (lax.fori_loop with a dynamic trip count), so ONE
+    compilation covers both inner counts — first TPU compiles cost
+    20-170 s through the relay tunnel, and the dynamic bound costs
+    nothing (fori_loop lowers to a while either way).
+
+    Returns the min-over-epochs slope (the relay adds heavy-tailed
+    positive noise, so min is the right estimator)."""
+    def timed(k):
+        out = step(x, k)
+        _sync(out)                       # compile (first epoch) + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = step(x, k)
+        _sync(out)
+        return (time.perf_counter() - t0) / reps
+
+    k_lo = jnp.asarray(inner_lo, jnp.int32)
+    k_hi = jnp.asarray(inner_hi, jnp.int32)
+    slopes = []
+    for _ in range(epochs):
+        t_lo = timed(k_lo)
+        t_hi = timed(k_hi)
+        slopes.append(max((t_hi - t_lo) / (inner_hi - inner_lo), 0.0))
+    return min(slopes)
+
+
 def time_once(fn, *args, reps: int = 5) -> float:
     """Plain amortized wall-clock (compile excluded); fine on CPU, includes
     per-dispatch relay overhead on the tunneled TPU."""

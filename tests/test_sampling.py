@@ -109,3 +109,52 @@ def test_keygen_draw_layout():
     for i in range(r):
         exp_a = golden.uniform_from_u64(u64s[i], p.q[i])
         np.testing.assert_array_equal(np.asarray(a[i]), np.array(exp_a, dtype=np.uint64))
+
+
+def test_uniform_ref_matches_ieee_double(rng):
+    """uniform_ref reproduces the reference's exact fp64 semantics
+    ((double)u / UINT64_MAX * (q-1) truncated, bfv_keygen.cuh:33-45) —
+    validated element-wise against IEEE numpy float64 (numpy's f64 mul/
+    div are correctly-rounded IEEE ops, identical to CUDA doubles here),
+    over random draws plus rounding-boundary values."""
+    for pname in ("4k_3q", "32k_16q"):
+        p = get_bfv_params(pname)
+        ms = modmath.ModulusSet.from_moduli(p.q)
+        n = 2048
+        u = rng.integers(0, 1 << 64, (ms.r, n), dtype=np.uint64)
+        edge = np.array(
+            [0, 1, 2, (1 << 53) - 1, 1 << 53, (1 << 53) + 1,
+             (1 << 64) - 1, (1 << 64) - 512, (1 << 64) - 1024,
+             (1 << 64) - 2048, 1 << 63, (1 << 63) + 1, (1 << 63) - 1,
+             3 << 62, (1 << 54) + 2, (1 << 54) + 3], dtype=np.uint64)
+        u[:, :edge.size] = edge
+        got = np.asarray(sampling.uniform_ref(jnp.asarray(u), ms))
+        for i, q in enumerate(p.q):
+            d = u[i].astype(np.float64)
+            d = d / np.float64(np.uint64(0xFFFFFFFFFFFFFFFF))
+            d = d * np.float64(np.uint64(q - 1))
+            np.testing.assert_array_equal(got[i], d.astype(np.uint64))
+            exp_g = golden.uniform_ref_double(u[i][:64].tolist(), int(q))
+            assert [int(v) for v in got[i][:64]] == exp_g
+
+
+def test_keygen_fp64_uniform_spec():
+    """BFVContext(uniform_spec="fp64"): keygen's `a` draw follows the
+    reference's double-precision spec byte-for-byte (making keygen output
+    comparable to a real CUDA run), and the pipeline still round-trips."""
+    from ntt_cuda_tpu.models import bfv
+    p = get_bfv_params("4k_3q")
+    ms = modmath.ModulusSet.from_moduli(p.q)
+    ctx = bfv.BFVContext.build(p, uniform_spec="fp64")
+    n, r = p.n, p.r
+    bw = salsa20.keystream_block_words(
+        (sampling.keygen_entropy_bytes(n, r) + 63) // 64)
+    u = np.asarray(salsa20.block_words_u64(bw, n, r * n)).reshape(r, n)
+    a_exp = np.stack([
+        np.asarray(golden.uniform_ref_double(u[i].tolist(), int(q)),
+                   dtype=np.uint64) for i, q in enumerate(p.q)])
+    _, pk = ctx.keygen()
+    np.testing.assert_array_equal(np.asarray(pk[1]), a_exp)
+    m = jnp.asarray(np.arange(n, dtype=np.uint64) % p.t)
+    out = np.asarray(ctx.roundtrip_check(m))
+    np.testing.assert_array_equal(out, np.asarray(m))
