@@ -35,6 +35,8 @@ import numpy as np
 
 BASELINE_NTT_US = 39.0      # V100, Table 6, n=2^15, 55-bit
 BASELINE_INTT_US = 23.0     # V100, Table 6
+BASELINE_NTT30_US = 27.7    # V100, Table 6, n=2^15, 30-bit family
+BASELINE_INTT30_US = 18.3
 # V100 Table 7 (us): keygen, encrypt, decrypt per parameter set
 BASELINE_BFV_US = {
     "4k_3q": (123.86, 85.82, 79.46),
@@ -85,6 +87,43 @@ def bench_transforms():
         us = per_batch / r * 1e6
         _log(f"[bench] {name}: {us:.2f} us/transform "
              f"(measured in {time.perf_counter()-t0:.0f}s)")
+        out[name] = us
+    return out
+
+
+def bench_transforms30():
+    """30-bit family (single-limb kernel, ops/ntt_pallas30.py) at n=2^15,
+    16-poly batch of the family modulus."""
+    import jax
+    import jax.numpy as jnp
+    from ntt_cuda_tpu.ops import ntt_pallas30
+    from ntt_cuda_tpu.params import get_params
+    from ntt_cuda_tpu.utils import profiling
+
+    n = 32768
+    q, psi, _, _, _ = get_params(n, family="30bit")
+    t30 = ntt_pallas30.FourStepTables30.build([q], [psi], n)
+    rng = np.random.default_rng(0)
+    B = 16
+    xj = jnp.asarray(rng.integers(0, q, (B, n), dtype=np.uint64)
+                     .astype(np.uint32))
+
+    def make(inverse):
+        @jax.jit
+        def step(y, k):
+            def body(_, z):
+                if inverse:
+                    return ntt_pallas30.ntt_inverse(z, t30)
+                return ntt_pallas30.ntt_forward(z, t30)
+            return jax.lax.fori_loop(0, k, body, y)
+        return step
+
+    out = {}
+    for name, inverse in (("ntt30", False), ("intt30", True)):
+        per = profiling.time_chained_dynamic(
+            make(inverse), xj, inner_lo=32, inner_hi=128, reps=3, epochs=3)
+        us = per / B * 1e6
+        _log(f"[bench] {name}: {us:.2f} us/transform")
         out[name] = us
     return out
 
@@ -165,6 +204,13 @@ def main() -> None:
         "intt_us": round(tf["intt"], 2),
         "intt_vs_baseline": round(BASELINE_INTT_US / tf["intt"], 3),
     }
+    t30 = bench_transforms30()
+    detail.update({
+        "ntt30_us": round(t30["ntt30"], 2),
+        "ntt30_vs_baseline": round(BASELINE_NTT30_US / t30["ntt30"], 3),
+        "intt30_us": round(t30["intt30"], 2),
+        "intt30_vs_baseline": round(BASELINE_INTT30_US / t30["intt30"], 3),
+    })
     if os.environ.get("BENCH_NTT_ONLY", "") != "1":
         sets = os.environ.get("BENCH_SETS", "")
         names = ([s for s in sets.split(",") if s] if sets

@@ -143,6 +143,42 @@ def mont_mul_lazy(a, b, q, qinv_neg):
     return add64(add64(hi_ab, hi_mq), (carry, jnp.zeros_like(carry)))
 
 
+def mulhi64_loose(a, b):
+    """floor(a*b / 2^64) - {0 or 1}: the a0*b0 partial product dropped.
+
+    a0*b0 only reaches bit 64 through the carry of the bits-32..63 sum,
+    and contributes at most +1 there — so this underestimates the exact
+    high half by at most 1, using 12 of mulhi64's 16 lane-multiplies.
+    Exclusively for shoup_mulmod_lazy4's widened-domain reduction."""
+    a0, a1 = a
+    b0, b1 = b
+    p01l, p01h = mul32_wide(a0, b1)
+    p10l, p10h = mul32_wide(a1, b0)
+    p11l, p11h = mul32_wide(a1, b1)
+    s = p01l + p10l
+    c = (s < p10l).astype(U32)
+    h0 = p11l + p01h
+    c3 = (h0 < p01h).astype(U32)
+    h0b = h0 + p10h
+    c4 = (h0b < p10h).astype(U32)
+    h0c = h0b + c
+    c5 = (h0c < h0b).astype(U32)
+    return h0c, p11h + c3 + c4 + c5
+
+
+def shoup_mulmod_lazy4(v, w, wp, q):
+    """v * w mod q in [0, 4q) — Shoup with the approximate (loose) mulhi.
+
+    Exact Shoup gives t = v*w - floor(v*wp/2^64)*q in [0, 2q) for any
+    u64 v; the loose mulhi underestimates the quotient by <= 1, adding
+    at most one more q: t in [0, 3q) ⊂ [0, 4q).  Kernels using this keep
+    lazy representatives in [0, 4q) (all butterflies < 8q < 2^64 for
+    q < 2^61 — every supported family) and normalize with two conditional
+    subtracts at the end.  24 lane-multiplies vs 28 for the exact form."""
+    h = mulhi64_loose(v, wp)
+    return sub64(mullo64(v, w), mullo64(h, q))
+
+
 def shoup_mulmod_lazy(v, w, wp, q):
     """v * w mod q in [0, 2q), Shoup/Harvey: w < q fixed,
     wp = floor(w * 2^64 / q), v any u64.

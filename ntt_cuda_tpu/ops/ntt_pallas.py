@@ -8,8 +8,8 @@ kernel with the polynomial resident in VMEM, decomposed four-step style
 (n = n1 x 128) so every stage is vector-shaped:
 
 * stage A  — log2(n1) Cooley-Tukey stages over the SUBLANE axis
-  (row-pair butterflies; reshapes are free regroupings), a merged
-  negacyclic length-n1 NTT with psi_A = psi^128;
+  (row-pair butterflies), a merged negacyclic length-n1 NTT with
+  psi_A = psi^128;
 * twiddle fix — one elementwise multiply by
   T[k1r, i2] = psi^i2 * psi_B^{-i2} * omega^{i2 * rev(k1r)};
 * stage B  — 7 Gentleman-transposed stages over the LANE axis
@@ -20,12 +20,35 @@ Because both sub-transforms use the merged CT-bitrev form, the natural
 row-major output of the (n1, 128) tile IS the reference's bit-reversed
 output — no transposes, no permutations (verified exactly in
 scratch/check_4step.py and tests).  The inverse runs the mirror (lane GS
-stages, inverse twiddle fix, row GS stages) with the reference's lazy
-halving folded per stage.
+stages, inverse twiddle fix, row GS stages).
 
-Arithmetic: u32-limb Shoup multiplication with Harvey lazy [0, 2q)
-representatives (ops/limb32.py); one final conditional subtract
-normalizes to [0, q), bit-identical to the reference.
+Every stage — rows and lanes, both directions — uses the roll+select
+form: each element fetches its butterfly partner via two cyclic rotates
+and a mask select, and the twiddle product runs once per element.
+Mosaic compiles rotates at full VPU speed in any stage order, where the
+textbook reshape-interleave form is ~8x slower for ascending pair
+distances and measurably slower even descending (34 -> 24 us/transform
+at n=2^15 from this change alone on v5e); a Pease constant-geometry
+variant (identical access pattern every stage, half-size multiplies)
+measured 1.9-3.8x WORSE — Mosaic's strided sublane interleaves dominate
+(scratch/cg_kernels.py, NOTES_NEXT_ROUND.md).
+
+Arithmetic: u32-limb Shoup multiplication (ops/limb32.py) with two
+deliberate departures from the reference's per-stage bookkeeping, both
+bit-identical after final normalization:
+
+* **No per-stage GS halving.**  The reference folds n^-1 as one 2^-1
+  per inverse stage (ntt_60bit.cuh:132,166); here the whole n^-1 folds
+  into the inverse twiddle-fix tables (tci/tcir) — the same field
+  element, 15 fewer halving passes per transform.
+* **Loose-mulhi Shoup in a [0, 4q) lazy domain**
+  (limb32.shoup_mulmod_lazy4): the quotient estimate drops the a0*b0
+  partial product (underestimate <= 1, output < 3q), saving 4 of 16
+  high-half multiplies; butterflies stay < 8q < 2^64 for q < 2^61, and
+  two conditional subtracts normalize outputs to [0, q).
+
+Measured on v5e at n=2^15 (16-modulus batch, same epoch): forward
+34.5 -> 18.3 us/transform, inverse 30.8 -> 20.8 (V100 baselines: 39/23).
 
 Twiddles: compact per-modulus tables — (4, n1, 128) for each of stage A /
 fix / inverse variants and (4, 8, 128) for stage B — ~1 MB per 55-bit
@@ -110,8 +133,12 @@ def _mod_tables(q: int, psi: int, n: int):
     ta = _plane_pack(np.broadcast_to(tabA[:, None], (n1, N2)).copy(), q)
     tai = _plane_pack(np.broadcast_to(tabAi[:, None], (n1, N2)).copy(), q)
 
-    # twiddle-fix tables: T[k1r, i2] = (psi * psi_B^-1 * omega^rev(k1r))^i2
+    # twiddle-fix tables: T[k1r, i2] = (psi * psi_B^-1 * omega^rev(k1r))^i2.
+    # The INVERSE fix additionally folds n^-1 (the kernels run the GS
+    # stages without per-stage halving — same field element as the
+    # reference's 2^-1-per-stage fold, ntt_60bit.cuh:132,166).
     base = (psi * psi_Bi) % q
+    ninv = hm.modinv(n, q)
     tc = np.empty((n1, N2), dtype=object)
     tci = np.empty((n1, N2), dtype=object)
     from .. import native
@@ -121,10 +148,11 @@ def _mod_tables(q: int, psi: int, n: int):
         rowg_i = hm.modinv(rowg, q)
         if use_native:
             tc[k1r] = native.geometric_row(rowg, q, N2).astype(object)
-            tci[k1r] = native.geometric_row(rowg_i, q, N2).astype(object)
+            tci[k1r] = (native.geometric_row(rowg_i, q, N2).astype(object)
+                        * ninv) % q
             continue
         v = 1
-        vi = 1
+        vi = ninv
         for i2 in range(N2):
             tc[k1r, i2] = v
             tci[k1r, i2] = vi
@@ -220,26 +248,6 @@ def _tab_slice(tab_ref, lo, hi):
     return w, wp
 
 
-def _stage_a_fwd(x, ta_ref, q, two_q, n1):
-    L1 = n1.bit_length() - 1
-    for s in range(L1):
-        m = 1 << s
-        d = n1 >> (s + 1)
-        xr = tuple(v.reshape(m, 2, d, N2) for v in x)
-        u = tuple(v[:, 0] for v in xr)
-        v_ = tuple(v[:, 1] for v in xr)
-        (w0, w1), (p0, p1) = _tab_slice(ta_ref, m, 2 * m)
-        w = (w0.reshape(m, 1, N2), w1.reshape(m, 1, N2))
-        wp = (p0.reshape(m, 1, N2), p1.reshape(m, 1, N2))
-        t = limb32.shoup_mulmod_lazy(v_, w, wp, q)
-        nu = limb32.reduce_once(limb32.add64(u, t), two_q)
-        nv = limb32.reduce_once(limb32.sub64(limb32.add64(u, two_q), t), two_q)
-        x = tuple(
-            jnp.stack([a, b], axis=1).reshape(n1, N2)
-            for a, b in zip(nu, nv))
-    return x
-
-
 def _roll_rows(x, shift: int, interpret: bool):
     if interpret:
         return jnp.roll(x, shift, axis=0)
@@ -251,39 +259,34 @@ def _expand_rows(w, m: int, d: int):
     return jnp.broadcast_to(w[:, None, :], (m, 2 * d, N2)).reshape(m * 2 * d, N2)
 
 
-def _stage_a_inv(x, tai_ref, q, two_q, q2, n1, row, interpret):
-    """GS row stages in roll+select form.
+def _partner_rows(x, d, n1, u_mask, interpret):
+    """Butterfly partner at row distance d: two sublane rotates + select."""
+    return limb32.select64(
+        u_mask,
+        tuple(_roll_rows(v, n1 - d, interpret) for v in x),
+        tuple(_roll_rows(v, d, interpret) for v in x))
 
-    The natural mirror of _stage_a_fwd (reshape into (m, 2, d) groups,
-    butterfly the halves, re-interleave) runs its stages in ascending pair
-    distance, which Mosaic compiles ~8x slower than the forward's
-    descending order (measured: 103 us vs 11 us per poly at n1=256 on
-    v5e — the cross-stage interleave patterns defeat its layout
-    propagation).  Instead, mirror the lane-stage technique: every row
-    computes both butterfly outputs on a rolled partner and selects by a
-    row-index mask — 2x the lane arithmetic, but pure sublane rotates for
-    data movement, which the VPU does at full speed in either stage
-    order (measured ~14 us per poly)."""
+
+def _stage_a_fwd(x, ta_ref, q, four_q, n1, row, interpret):
+    """CT row stages, roll+select: the twiddle product runs on the pair's
+    v element (selected per row); u rows keep x, v rows use the partner.
+    Mosaic compiles the rotates at full speed where the textbook
+    (m, 2, d) reshape-interleave form is movement-bound (module
+    docstring)."""
     L1 = n1.bit_length() - 1
-    for s in reversed(range(L1)):
+    for s in range(L1):
         m = 1 << s
         d = n1 >> (s + 1)
         u_mask = (row & U32(d)) == 0
-        partner = tuple(
-            jnp.where(u_mask, _roll_rows(v, n1 - d, interpret),
-                      _roll_rows(v, d, interpret))
-            for v in x)
-        v_in = tuple(jnp.where(u_mask, p, s_) for p, s_ in zip(partner, x))
-        u_in = tuple(jnp.where(u_mask, s_, p) for p, s_ in zip(partner, x))
-        (w0, w1), (p0, p1) = _tab_slice(tai_ref, m, 2 * m)
+        p = _partner_rows(x, d, n1, u_mask, interpret)
+        v_val = limb32.select64(u_mask, p, x)
+        (w0, w1), (p0, p1) = _tab_slice(ta_ref, m, 2 * m)
         w = (_expand_rows(w0, m, d), _expand_rows(w1, m, d))
         wp = (_expand_rows(p0, m, d), _expand_rows(p1, m, d))
-        s_sum = limb32.reduce_once(limb32.add64(u_in, v_in), two_q)
-        d_dif = limb32.reduce_once(
-            limb32.sub64(limb32.add64(u_in, two_q), v_in), two_q)
-        t = limb32.shoup_mulmod_lazy(d_dif, w, wp, q)
-        res_u = limb32.halve_mod64(s_sum, q2)
-        res_v = limb32.halve_mod64(t, q2)
+        t = limb32.shoup_mulmod_lazy4(v_val, w, wp, q)
+        res_u = limb32.reduce_once(limb32.add64(x, t), four_q)
+        res_v = limb32.reduce_once(
+            limb32.sub64(limb32.add64(p, four_q), t), four_q)
         x = limb32.select64(u_mask, res_u, res_v)
         if interpret:
             # XLA:CPU's fusion pass degenerates (hours) on the composed
@@ -292,43 +295,61 @@ def _stage_a_inv(x, tai_ref, q, two_q, q2, n1, row, interpret):
     return x
 
 
-def _lane_stage_inputs(x, step: int, lane, interpret: bool):
-    u_mask = (lane & step) == 0
-    partner = tuple(
-        jnp.where(u_mask, _roll(v, N2 - step, interpret), _roll(v, step, interpret))
-        for v in x)
-    v_in = tuple(jnp.where(u_mask, p, s) for p, s in zip(partner, x))
-    u_in = tuple(jnp.where(u_mask, s, p) for p, s in zip(partner, x))
-    return u_mask, u_in, v_in
+def _stage_a_inv(x, tai_ref, q, four_q, n1, row, interpret):
+    """GS row stages, roll+select, two selects, no halving: u rows take
+    u+v, v rows take (u-v)*psi^-1 (n^-1 lives in the fix tables)."""
+    L1 = n1.bit_length() - 1
+    for s in reversed(range(L1)):
+        m = 1 << s
+        d = n1 >> (s + 1)
+        u_mask = (row & U32(d)) == 0
+        p = _partner_rows(x, d, n1, u_mask, interpret)
+        s_sum = limb32.reduce_once(limb32.add64(x, p), four_q)
+        d_dif = limb32.sub64(limb32.add64(p, four_q), x)  # u-v on v rows
+        (w0, w1), (p0, p1) = _tab_slice(tai_ref, m, 2 * m)
+        w = (_expand_rows(w0, m, d), _expand_rows(w1, m, d))
+        wp = (_expand_rows(p0, m, d), _expand_rows(p1, m, d))
+        t = limb32.shoup_mulmod_lazy4(d_dif, w, wp, q)
+        x = limb32.select64(u_mask, s_sum, t)
+        if interpret:
+            x = jax.lax.optimization_barrier(x)
+    return x
 
 
-def _stage_b_fwd(x, tb_ref, q, two_q, lane, interpret):
+def _lane_partner(x, step, u_mask, interpret):
+    return limb32.select64(
+        u_mask,
+        tuple(_roll(v, N2 - step, interpret) for v in x),
+        tuple(_roll(v, step, interpret) for v in x))
+
+
+def _stage_b_fwd(x, tb_ref, q, four_q, lane, interpret):
     for s in range(L2):
         step = (N2 // 2) >> s
-        u_mask, u_in, v_in = _lane_stage_inputs(x, step, lane, interpret)
+        u_mask = (lane & step) == 0
+        p = _lane_partner(x, step, u_mask, interpret)
+        v_val = limb32.select64(u_mask, p, x)
         w = (tb_ref[0, s:s + 1, :], tb_ref[1, s:s + 1, :])
         wp = (tb_ref[2, s:s + 1, :], tb_ref[3, s:s + 1, :])
-        t = limb32.shoup_mulmod_lazy(v_in, w, wp, q)
-        res_u = limb32.reduce_once(limb32.add64(u_in, t), two_q)
+        t = limb32.shoup_mulmod_lazy4(v_val, w, wp, q)
+        res_u = limb32.reduce_once(limb32.add64(x, t), four_q)
         res_v = limb32.reduce_once(
-            limb32.sub64(limb32.add64(u_in, two_q), t), two_q)
+            limb32.sub64(limb32.add64(p, four_q), t), four_q)
         x = limb32.select64(u_mask, res_u, res_v)
     return x
 
 
-def _stage_b_inv(x, tbi_ref, q, two_q, q2, lane, interpret):
+def _stage_b_inv(x, tbi_ref, q, four_q, lane, interpret):
     for s in reversed(range(L2)):
         step = (N2 // 2) >> s
-        u_mask, u_in, v_in = _lane_stage_inputs(x, step, lane, interpret)
+        u_mask = (lane & step) == 0
+        p = _lane_partner(x, step, u_mask, interpret)
+        s_ = limb32.reduce_once(limb32.add64(x, p), four_q)
+        d_ = limb32.sub64(limb32.add64(p, four_q), x)
         w = (tbi_ref[0, s:s + 1, :], tbi_ref[1, s:s + 1, :])
         wp = (tbi_ref[2, s:s + 1, :], tbi_ref[3, s:s + 1, :])
-        s_ = limb32.reduce_once(limb32.add64(u_in, v_in), two_q)
-        d_ = limb32.reduce_once(
-            limb32.sub64(limb32.add64(u_in, two_q), v_in), two_q)
-        t = limb32.shoup_mulmod_lazy(d_, w, wp, q)
-        res_u = limb32.halve_mod64(s_, q2)
-        res_v = limb32.halve_mod64(t, q2)
-        x = limb32.select64(u_mask, res_u, res_v)
+        t = limb32.shoup_mulmod_lazy4(d_, w, wp, q)
+        x = limb32.select64(u_mask, s_, t)
         if interpret:
             x = jax.lax.optimization_barrier(x)
     return x
@@ -337,26 +358,31 @@ def _stage_b_inv(x, tbi_ref, q, two_q, q2, lane, interpret):
 def _elementwise_fix(x, tc_ref, q):
     w = (tc_ref[0], tc_ref[1])
     wp = (tc_ref[2], tc_ref[3])
-    return limb32.shoup_mulmod_lazy(x, w, wp, q)
+    return limb32.shoup_mulmod_lazy4(x, w, wp, q)
+
+
+def _normalize(x, q, two_q):
+    """[0, 4q) lazy representative -> canonical [0, q): bit-exact."""
+    return limb32.reduce_once(limb32.reduce_once(x, two_q), q)
 
 
 def _kernel_body(mi, qc_ref, xl_ref, xh_ref, ta_ref, tc_ref, tb_ref,
                  ol_ref, oh_ref, n1: int, inverse: bool, interpret: bool):
     q = (qc_ref[mi, 0], qc_ref[mi, 1])
     two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
-    q2 = (qc_ref[mi, 4], qc_ref[mi, 5])
+    four_q = limb32.add64(two_q, two_q)
     x = (xl_ref[0], xh_ref[0])
     lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+    row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
     if not inverse:
-        x = _stage_a_fwd(x, ta_ref.at[0], q, two_q, n1)
+        x = _stage_a_fwd(x, ta_ref.at[0], q, four_q, n1, row, interpret)
         x = _elementwise_fix(x, tc_ref.at[0], q)
-        x = _stage_b_fwd(x, tb_ref.at[0], q, two_q, lane, interpret)
+        x = _stage_b_fwd(x, tb_ref.at[0], q, four_q, lane, interpret)
     else:
-        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
-        x = _stage_b_inv(x, tb_ref.at[0], q, two_q, q2, lane, interpret)
+        x = _stage_b_inv(x, tb_ref.at[0], q, four_q, lane, interpret)
         x = _elementwise_fix(x, tc_ref.at[0], q)
-        x = _stage_a_inv(x, ta_ref.at[0], q, two_q, q2, n1, row, interpret)
-    x = limb32.reduce_once(x, q)  # normalize [0,2q) -> [0,q): bit-exact
+        x = _stage_a_inv(x, ta_ref.at[0], q, four_q, n1, row, interpret)
+    x = _normalize(x, q, two_q)
     ol_ref[0] = x[0]
     oh_ref[0] = x[1]
 
@@ -560,17 +586,17 @@ def _make_kernel_inv_mul(n1: int, interpret: bool):
         mi = pl.program_id(0)
         q = (qc_ref[mi, 0], qc_ref[mi, 1])
         two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
-        q2 = (qc_ref[mi, 4], qc_ref[mi, 5])
+        four_q = limb32.add64(two_q, two_q)
         qinv = (qc_ref[mi, 6], qc_ref[mi, 7])
         x = (xl_ref[0], xh_ref[0])
         y = (yl_ref[0], yh_ref[0])
-        x = limb32.mont_mul_lazy(x, y, q, qinv)
+        x = limb32.mont_mul_lazy(x, y, q, qinv)    # < 2q ⊂ [0, 4q)
         lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
         row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
-        x = _stage_b_inv(x, tb_ref.at[0], q, two_q, q2, lane, interpret)
-        x = _elementwise_fix(x, tc_ref.at[0], q)   # tcir: includes 2^64
-        x = _stage_a_inv(x, ta_ref.at[0], q, two_q, q2, n1, row, interpret)
-        x = limb32.reduce_once(x, q)
+        x = _stage_b_inv(x, tb_ref.at[0], q, four_q, lane, interpret)
+        x = _elementwise_fix(x, tc_ref.at[0], q)   # tcir: 2^64 and n^-1
+        x = _stage_a_inv(x, ta_ref.at[0], q, four_q, n1, row, interpret)
+        x = _normalize(x, q, two_q)
         ol_ref[0] = x[0]
         oh_ref[0] = x[1]
     return kernel

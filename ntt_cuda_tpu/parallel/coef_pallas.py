@@ -168,8 +168,10 @@ class CoefShardedNTT:
             ftab = self._ftab_local(ta, tc, tb, tai, tci, tbi, qc)
             x = ntt_pallas.ntt_inverse(x, ftab, interpret=interp)
             for s in reversed(range(logc)):
+                # halve=False: the local kernel's tables already fold the
+                # global n^-1 (sliced from the full-n tci)
                 x = sharded._cross_inverse_stage(x, pm, q, qinv, n, C, s,
-                                                 block)
+                                                 block, halve=False)
             return x
 
         fn = shard_map(
@@ -195,9 +197,12 @@ def cross_fwd(x, pm, q, qinv, n: int, C: int, block):
 
 
 def cross_inv(x, pm, q, qinv, n: int, C: int, block):
-    """The log2(C) cross-shard GS stages (after the local inverse)."""
+    """The log2(C) cross-shard GS stages (after the local inverse).
+    No halving: the fused local kernels' tables fold the global n^-1
+    (ops/ntt_pallas.py), so these stages are scale-free."""
     for s in reversed(range(C.bit_length() - 1)):
-        x = sharded._cross_inverse_stage(x, pm, q, qinv, n, C, s, block)
+        x = sharded._cross_inverse_stage(x, pm, q, qinv, n, C, s, block,
+                                         halve=False)
     return x
 
 

@@ -118,8 +118,12 @@ def _cross_forward_stage(x, table_loc, q, qinv, n: int, C: int, s: int,
 
 
 def _cross_inverse_stage(x, table_loc, q, qinv, n: int, C: int, s: int,
-                         block: jax.Array):
-    """One cross-shard GS stage with lazy halving."""
+                         block: jax.Array, halve: bool = True):
+    """One cross-shard GS stage.  `halve` folds the stage's 2^-1 as the
+    reference does (the XLA local stages here expect it); the fused
+    Pallas local kernels instead fold the WHOLE n^-1 into their inverse
+    fix tables (ops/ntt_pallas.py), so coef_pallas/spmd2d call this with
+    halve=False — same field element either way, bit-exact outputs."""
     length = 1 << s
     k = C >> (s + 1)
     partner = jax.lax.ppermute(x, COEF_AXIS, _xor_perm(C, k))
@@ -130,7 +134,8 @@ def _cross_inverse_stage(x, table_loc, q, qinv, n: int, C: int, s: int,
                      modmath.add_mod(x, partner, q),
                      modmath.sub_mod(partner, x, q))
     t = modmath.mont_mul(s_uv, psiinv, q, qinv)
-    return modmath.halve_mod(jnp.where(u_side, s_uv, t), q)
+    out = jnp.where(u_side, s_uv, t)
+    return modmath.halve_mod(out, q) if halve else out
 
 
 def _fwd_shard(x, psi_mont, q, qinv, *, n: int, C: int):

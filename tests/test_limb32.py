@@ -77,3 +77,26 @@ def test_reduce_once(rng):
     r = np.asarray(limb32.from_pair(limb32.reduce_once(
         limb32.to_pair(jnp.asarray(x)), limb32.to_pair(jnp.uint64(q)))))
     np.testing.assert_array_equal(r, x % q)
+
+
+def test_shoup_mulmod_lazy4(rng):
+    """Loose-mulhi Shoup: result ≡ v*w (mod q), < 3q (documented < 4q),
+    and mulhi64_loose underestimates the exact high half by at most 1."""
+    q = (1 << 60) - 93  # close to the largest supported modulus size
+    for _ in range(5):
+        v = rng.integers(0, 1 << 64, 4096, dtype=np.uint64)
+        w_s = int(rng.integers(0, q, dtype=np.uint64))
+        wp_s = (w_s << 64) // q
+        w = limb32.to_pair(jnp.full(v.shape, np.uint64(w_s)))
+        wp = limb32.to_pair(jnp.full(v.shape, np.uint64(wp_s)))
+        qp = limb32.to_pair(jnp.full(v.shape, np.uint64(q)))
+        vv = limb32.to_pair(jnp.asarray(v))
+        t = np.asarray(limb32.from_pair(
+            limb32.shoup_mulmod_lazy4(vv, w, wp, qp)))
+        for ti, vi in zip(t[:512], v[:512]):
+            assert int(ti) % q == (int(vi) * w_s) % q
+            assert int(ti) < 3 * q
+        h_exact = np.asarray(limb32.from_pair(limb32.mulhi64(vv, wp)))
+        h_loose = np.asarray(limb32.from_pair(limb32.mulhi64_loose(vv, wp)))
+        d = h_exact - h_loose
+        assert (d <= 1).all() and (d >= 0).all()
