@@ -92,7 +92,8 @@ class CoefShardedNTT:
               interpret: bool | None = None) -> "CoefShardedNTT":
         C = mesh.shape[COEF_AXIS]
         if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+            # by mesh devices, not the process default backend
+            interpret = mesh.devices.flat[0].platform != "tpu"
         parts = [_gather_shard_tables(int(q), int(p), n, C)
                  for q, p in zip(qs, psis)]
         stack = lambda i: jnp.asarray(np.stack([p[i] for p in parts]))

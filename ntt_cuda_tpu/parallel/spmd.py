@@ -59,7 +59,10 @@ class SpmdBFVContext:
         if params.r % R != 0:
             raise ValueError(f"r={params.r} not divisible by {R} shards")
         if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+            # decide by the MESH devices, not the process default backend
+            # (environments can force-register an accelerator while the
+            # mesh lives on virtual CPU devices)
+            interpret = mesh.devices.flat[0].platform != "tpu"
         row = NamedSharding(mesh, P("rns"))
 
         def shard(tree):

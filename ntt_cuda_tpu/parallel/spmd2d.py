@@ -68,7 +68,8 @@ class Spmd2DBFVContext:
         if params.n % (C * 2 * N2) != 0:
             raise ValueError(f"n={params.n} too small for coef={C}")
         if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+            # by mesh devices, not the process default backend
+            interpret = mesh.devices.flat[0].platform != "tpu"
         cnt = coef_pallas.CoefShardedNTT.build(
             params.q, params.psi, params.n, mesh, interpret=interpret)
         row = NamedSharding(mesh, P(RNS_AXIS))

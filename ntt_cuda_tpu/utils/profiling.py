@@ -72,12 +72,12 @@ def time_chained_dynamic(step, x, inner_lo: int = 4, inner_hi: int = 16,
 
     k_lo = jnp.asarray(inner_lo, jnp.int32)
     k_hi = jnp.asarray(inner_hi, jnp.int32)
-    slopes = []
-    for _ in range(epochs):
-        t_lo = timed(k_lo)
-        t_hi = timed(k_hi)
-        slopes.append(max((t_hi - t_lo) / (inner_hi - inner_lo), 0.0))
-    return min(slopes)
+    # min PER POINT over epochs (noise is additive-positive on each
+    # timing; a per-epoch slope can go negative and poison a min-of-
+    # slopes), then one slope from the two minima.
+    t_lo = min(timed(k_lo) for _ in range(epochs))
+    t_hi = min(timed(k_hi) for _ in range(epochs))
+    return max((t_hi - t_lo) / (inner_hi - inner_lo), 0.0)
 
 
 def time_once(fn, *args, reps: int = 5) -> float:
