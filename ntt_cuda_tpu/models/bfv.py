@@ -209,8 +209,9 @@ class BFVContext:
 def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str,
                 uniform_spec: str = "int"):
     """keygen_rns (bfv_keygen.cuh:95-151)."""
-    s, a, e = sampling.keygen_draws(n, r, ms, nonce=nonce,
-                                    uniform_spec=uniform_spec)
+    s, a, e = sampling.keygen_draws(
+        n, r, ms, nonce=nonce, uniform_spec=uniform_spec,
+        ks_impl="pallas" if backend == "pallas" else "xla")
     sk = _fwd(s, tables, ftab, ms, backend)             # s kept in NTT domain
     pk0 = _inv_mul(a, sk, tables, ftab, ms, backend)    # INTT(a (.) s-hat)
     pk0 = poly.poly_add_negate(pk0, e, ms)              # -(a*s + e)
@@ -223,7 +224,9 @@ def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
                  dr_consts, msg_consts, tail_consts, n: int, r: int,
                  backend: str):
     """encryption_rns (bfv_encryption.cuh:223-290)."""
-    u, e0, e1 = sampling.encrypt_draws(n, r, ms_full, nonce=nonce)
+    u, e0, e1 = sampling.encrypt_draws(
+        n, r, ms_full, nonce=nonce,
+        ks_impl="pallas" if backend == "pallas" else "xla")
     c = jnp.stack([u, u])                               # (2, r, n)
     c = _fwd(c, tables, ftab, ms_full, backend)
     c = _inv_mul(c, pk, tables, ftab, ms_full, backend)

@@ -204,7 +204,7 @@ def keygen_entropy_bytes(n: int, r: int) -> int:
 
 def keygen_draws(n: int, r: int, ms: modmath.ModulusSet,
                  key_byte: int = salsa20.DEFAULT_KEY_BYTE, nonce=0,
-                 uniform_spec: str = "int"):
+                 uniform_spec: str = "int", ks_impl: str | None = None):
     """Sample (s, a, e) for keygen with the reference's byte layout
     (bfv_keygen.cuh:120-122): ternary bytes at 0, uniform u64 lanes at
     byte offset n, gaussian u32 lanes at byte offset n + 8*r*n.
@@ -214,7 +214,8 @@ def keygen_draws(n: int, r: int, ms: modmath.ModulusSet,
     bit-for-bit — uniform_ref)."""
     nbytes = keygen_entropy_bytes(n, r)
     bw = salsa20.keystream_block_words((nbytes + 63) // 64,
-                                       key_byte=key_byte, nonce=nonce)
+                                       key_byte=key_byte, nonce=nonce,
+                                       impl=ks_impl)
     s = ternary(salsa20.block_words_u8(bw, 0, n), ms)
     ufn = uniform_ref if uniform_spec == "fp64" else uniform
     a = ufn(salsa20.block_words_u64(bw, n, r * n).reshape(r, n), ms)
@@ -229,13 +230,15 @@ def encrypt_entropy_bytes(n: int) -> int:
 
 
 def encrypt_draws(n: int, r: int, ms: modmath.ModulusSet,
-                  key_byte: int = salsa20.DEFAULT_KEY_BYTE, nonce=0):
+                  key_byte: int = salsa20.DEFAULT_KEY_BYTE, nonce=0,
+                  ks_impl: str | None = None):
     """Sample (u, e0, e1) for encryption (convert_ternary_gaussian_x2,
     bfv_encryption.cuh:17-109): ternary bytes at 0, e0 u32 lanes at byte
     offset n, e1 u32 lanes at byte offset 5n."""
     nbytes = encrypt_entropy_bytes(n)
     bw = salsa20.keystream_block_words((nbytes + 63) // 64,
-                                       key_byte=key_byte, nonce=nonce)
+                                       key_byte=key_byte, nonce=nonce,
+                                       impl=ks_impl)
     u = ternary(salsa20.block_words_u8(bw, 0, n), ms)
     e0 = gaussian(salsa20.block_words_u32(bw, n, n), ms)
     e1 = gaussian(salsa20.block_words_u32(bw, 5 * n, n), ms)

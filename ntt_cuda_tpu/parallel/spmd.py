@@ -126,17 +126,21 @@ class SpmdBFVContext:
         interp = self.interpret
         ms_spec, ftab_spec, _, _ = self._specs()
 
+        ksi = "xla" if interp else "pallas"
+
         def kg(nonce_, ms, ftab):
             idx = jax.lax.axis_index("rns")
-            bw_s = salsa20.keystream_block_words(n // 64, nonce=nonce_)
+            bw_s = salsa20.keystream_block_words(n // 64, nonce=nonce_,
+                                                 impl=ksi)
             s = sampling.ternary(salsa20.block_words_u8(bw_s, 0, n), ms)
             c0a = n // 64 + idx.astype(U64) * U64(rl * n // 8)
             bw_a = salsa20.keystream_block_words(rl * n // 8, nonce=nonce_,
-                                                 counter0=c0a)
+                                                 counter0=c0a, impl=ksi)
             a = sampling.uniform(
                 salsa20.block_words_u64(bw_a, 0, rl * n).reshape(rl, n), ms)
             bw_e = salsa20.keystream_block_words(
-                n // 16, nonce=nonce_, counter0=(n + 8 * r * n) // 64)
+                n // 16, nonce=nonce_, counter0=(n + 8 * r * n) // 64,
+                impl=ksi)
             e = sampling.gaussian(salsa20.block_words_u32(bw_e, 0, n), ms)
             sk = ntt_pallas.ntt_forward(s, ftab, interpret=interp)
             pk0 = ntt_pallas.ntt_inverse_mul(a, sk, ftab, interpret=interp)
@@ -174,10 +178,13 @@ class SpmdBFVContext:
         interp = self.interpret
         ms_spec, ftab_spec, tail_spec, _ = self._specs()
 
+        ksi = "xla" if interp else "pallas"
+
         def enc(nonce_, pkk, m, ms, ftab, tc):
             idx = jax.lax.axis_index("rns")
             bw = salsa20.keystream_block_words(
-                (sampling.encrypt_entropy_bytes(n) + 63) // 64, nonce=nonce_)
+                (sampling.encrypt_entropy_bytes(n) + 63) // 64, nonce=nonce_,
+                impl=ksi)
             u = sampling.ternary(salsa20.block_words_u8(bw, 0, n), ms)
             e0 = sampling.gaussian(salsa20.block_words_u32(bw, n, n), ms)
             e1 = sampling.gaussian(salsa20.block_words_u32(bw, 5 * n, n), ms)

@@ -120,35 +120,36 @@ class Spmd2DBFVContext:
 
     def _draw_slices(self, n, r, R, C, rl, S):
         """Returns per-shard draw functions closing over static geometry."""
+        ksi = "xla" if self.interpret else "pallas"
         def keygen_draws_local(nonce, ri, ci, ms):
             c0s = ci.astype(U64) * U64(S // 64)
             bw_s = salsa20.keystream_block_words(S // 64, nonce=nonce,
-                                                 counter0=c0s)
+                                                 counter0=c0s, impl=ksi)
             s = sampling.ternary(salsa20.block_words_u8(bw_s, 0, S), ms)
             lanes = []
             for j in range(rl):   # per local modulus: slices 8n bytes apart
                 c0 = (n // 64 + (ri.astype(U64) * U64(rl) + U64(j)) *
                       U64(n // 8) + ci.astype(U64) * U64(S // 8))
                 bw = salsa20.keystream_block_words(S // 8, nonce=nonce,
-                                                   counter0=c0)
+                                                   counter0=c0, impl=ksi)
                 lanes.append(salsa20.block_words_u64(bw, 0, S))
             a = sampling.uniform(jnp.stack(lanes), ms)
             c0e = U64((n + 8 * r * n) // 64) + ci.astype(U64) * U64(S // 16)
             bw_e = salsa20.keystream_block_words(S // 16, nonce=nonce,
-                                                 counter0=c0e)
+                                                 counter0=c0e, impl=ksi)
             e = sampling.gaussian(salsa20.block_words_u32(bw_e, 0, S), ms)
             return s, a, e
 
         def encrypt_draws_local(nonce, ci, ms):
             c0u = ci.astype(U64) * U64(S // 64)
             bw_u = salsa20.keystream_block_words(S // 64, nonce=nonce,
-                                                 counter0=c0u)
+                                                 counter0=c0u, impl=ksi)
             u = sampling.ternary(salsa20.block_words_u8(bw_u, 0, S), ms)
             es = []
             for base in (n, 5 * n):   # e0, e1 u32 lanes
                 c0 = U64(base // 64) + ci.astype(U64) * U64(S // 16)
                 bw = salsa20.keystream_block_words(S // 16, nonce=nonce,
-                                                   counter0=c0)
+                                                   counter0=c0, impl=ksi)
                 es.append(sampling.gaussian(
                     salsa20.block_words_u32(bw, 0, S), ms))
             return u, es[0], es[1]

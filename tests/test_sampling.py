@@ -158,3 +158,18 @@ def test_keygen_fp64_uniform_spec():
     m = jnp.asarray(np.arange(n, dtype=np.uint64) % p.t)
     out = np.asarray(ctx.roundtrip_check(m))
     np.testing.assert_array_equal(out, np.asarray(m))
+
+
+def test_keystream_pallas_matches_xla():
+    """The Pallas keystream generator (used on TPU) is bit-identical to
+    the XLA path for every layout case: partial chunks, nonzero nonces,
+    counter offsets, both fixed keys."""
+    for nb, nonce, c0 in ((7, 0, 0), (1024, 0, 0), (2050, 12345, 77),
+                          (64, (1 << 63) + 5, (1 << 40) + 3)):
+        for kb in (salsa20.DEFAULT_KEY_BYTE, salsa20.STREAM_KEY_BYTE):
+            ref = np.asarray(salsa20.keystream_block_words(
+                nb, key_byte=kb, nonce=nonce, counter0=c0, impl="xla"))
+            got = np.asarray(salsa20.keystream_block_words(
+                nb, key_byte=kb, nonce=nonce, counter0=c0,
+                impl="pallas-interpret"))
+            np.testing.assert_array_equal(got, ref)
