@@ -117,15 +117,17 @@ def cmd_demo(args) -> int:
 
 
 def cmd_ntt_test(args) -> int:
-    """60bit_ntt_test.cu equivalent: NTT->dyadic->INTT vs schoolbook."""
+    """60bit_ntt_test.cu equivalent: NTT->dyadic->INTT vs schoolbook
+    (--family 30bit mirrors old/30bit_ntt_test.cu on the same path)."""
     import jax.numpy as jnp
     from .ops import modmath, ntt
     from .params import get_params
     from .utils import golden
 
     n = args.n
-    q, psi, psiinv, _, _ = get_params(n)
-    print(f"[ntt-test] n={n} q={q} ({q.bit_length()} bits)")
+    q, psi, psiinv, _, _ = get_params(n, family=args.family)
+    print(f"[ntt-test] n={n} q={q} ({q.bit_length()} bits, "
+          f"{args.family} family)")
     rng = np.random.default_rng(args.seed)
     a = rng.integers(0, q, n, dtype=np.uint64)
     b = rng.integers(0, q, n, dtype=np.uint64)
@@ -247,6 +249,7 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("ntt-test", help="polymul vs schoolbook golden model")
     p.add_argument("--n", type=int, default=2048)
+    p.add_argument("--family", default="60bit", choices=["60bit", "30bit"])
     p.set_defaults(fn=cmd_ntt_test)
 
     p = sub.add_parser("decryption-test", help="reference golden vectors")

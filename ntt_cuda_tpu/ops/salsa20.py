@@ -199,6 +199,18 @@ def keystream_words(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
     return bw.T.reshape(nblocks * 16)
 
 
+def _tiled_T(sub: jax.Array) -> jax.Array:
+    """(16, nb) -> (nb, 16) block-major words.  When nb is a multiple of
+    128, express the transpose as a (16, G, 128) -> (G, 128, 16) axis
+    permutation — XLA:TPU compiles that ~60x faster than the plain 2-D
+    transpose (60 us -> 1 us for keygen's 36864-block span at n=2^15)."""
+    nb = sub.shape[1]
+    if nb % 128 == 0:
+        G = nb // 128
+        return sub.reshape(16, G, 128).transpose(1, 2, 0).reshape(nb, 16)
+    return sub.T
+
+
 def block_words_u32(bw: jax.Array, start: int, count: int) -> jax.Array:
     """`count` canonical-order stream words from byte offset `start`
     (start must be 64-byte block aligned)."""
@@ -206,7 +218,7 @@ def block_words_u32(bw: jax.Array, start: int, count: int) -> jax.Array:
     blk0 = start // 64
     nb = -(-count // 16)
     w = jax.lax.slice_in_dim(bw, blk0, blk0 + nb, axis=1)
-    return w.T.reshape(nb * 16)[:count]
+    return _tiled_T(w).reshape(nb * 16)[:count]
 
 
 def block_words_u8(bw: jax.Array, start: int, count: int) -> jax.Array:
@@ -225,10 +237,9 @@ def block_words_u64(bw: jax.Array, start: int, count: int) -> jax.Array:
     blk0 = start // 64
     nb = count // 8
     sub = jax.lax.slice_in_dim(bw, blk0, blk0 + nb, axis=1)   # (16, nb)
-    lo = sub[0::2].astype(U64)                                # (8, nb)
-    hi = sub[1::2].astype(U64)
-    v = lo | (hi << U64(32))
-    return v.T.reshape(count)
+    w = _tiled_T(sub).reshape(nb, 8, 2)                       # u32 first
+    return (w[..., 0].astype(U64)
+            | (w[..., 1].astype(U64) << U64(32))).reshape(count)
 
 
 def keystream_for_bytes(nbytes: int, **kw) -> jax.Array:

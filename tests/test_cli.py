@@ -50,3 +50,8 @@ def test_serialize_rejects_mismatched_params(tmp_path):
         serialize.load_keypair(path, p4)
     with pytest.raises(ValueError, match="not a ciphertext"):
         serialize.load_ciphertext(path, p3)
+
+
+def test_ntt_test_30bit_family():
+    from ntt_cuda_tpu import cli
+    assert cli.main(["ntt-test", "--n", "2048", "--family", "30bit"]) == 0
