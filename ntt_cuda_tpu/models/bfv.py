@@ -223,12 +223,18 @@ def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str,
 def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
                  dr_consts, msg_consts, tail_consts, n: int, r: int,
                  backend: str):
-    """encryption_rns (bfv_encryption.cuh:223-290)."""
+    """encryption_rns (bfv_encryption.cuh:223-290).
+
+    The reference transforms both ciphertext halves (2r forwards,
+    bfv_encryption.cuh:268) but they hold the SAME polynomial u — its
+    in-place buffers force the duplicate.  Here NTT(u) is computed once
+    (r forwards) and broadcast into the dyadic against both pk halves:
+    identical values, 25% fewer transforms per encryption."""
     u, e0, e1 = sampling.encrypt_draws(
         n, r, ms_full, nonce=nonce,
         ks_impl="pallas" if backend == "pallas" else "xla")
-    c = jnp.stack([u, u])                               # (2, r, n)
-    c = _fwd(c, tables, ftab, ms_full, backend)
+    u_ntt = _fwd(u, tables, ftab, ms_full, backend)     # (r, n), once
+    c = jnp.broadcast_to(u_ntt, (2, r, n))
     c = _inv_mul(c, pk, tables, ftab, ms_full, backend)
     e = jnp.stack([e0, e1])
     if backend == "xla":

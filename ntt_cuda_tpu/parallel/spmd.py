@@ -188,8 +188,9 @@ class SpmdBFVContext:
             u = sampling.ternary(salsa20.block_words_u8(bw, 0, n), ms)
             e0 = sampling.gaussian(salsa20.block_words_u32(bw, n, n), ms)
             e1 = sampling.gaussian(salsa20.block_words_u32(bw, 5 * n, n), ms)
-            c = jnp.stack([u, u])
-            c = ntt_pallas.ntt_forward(c, ftab, interpret=interp)
+            # NTT(u) once — both ciphertext halves hold the same u
+            un = ntt_pallas.ntt_forward(u, ftab, interpret=interp)
+            c = jnp.broadcast_to(un, (2,) + un.shape)
             c = ntt_pallas.ntt_inverse_mul(c, pkk, ftab, interpret=interp)
             e = jnp.stack([e0, e1])
             # adjusted last residue, owner shard -> everyone (one psum)

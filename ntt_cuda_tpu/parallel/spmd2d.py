@@ -228,9 +228,10 @@ class Spmd2DBFVContext:
             ci = jax.lax.axis_index(COEF_AXIS)
             u, e0, e1 = enc_draws(nonce_, ci, ms)
             ftab = _ftab_local(ta, tc, tb, tai, tci, tbi, qc, tcir, S)
-            c = jnp.stack([u, u])
-            c = coef_pallas.cross_fwd(c, pm, q, qinv, n, C, ci)
-            c = ntt_pallas.ntt_forward(c, ftab, interpret=interp)
+            # NTT(u) once — both ciphertext halves hold the same u
+            un = coef_pallas.cross_fwd(u, pm, q, qinv, n, C, ci)
+            un = ntt_pallas.ntt_forward(un, ftab, interpret=interp)
+            c = jnp.broadcast_to(un, (2,) + un.shape)
             c = ntt_pallas.ntt_inverse_mul(c, pkk, ftab, interpret=interp)
             c = coef_pallas.cross_inv(c, pmi, q, qinv, n, C, ci)
             e = jnp.stack([e0, e1])
