@@ -37,6 +37,11 @@ BASELINE_NTT_US = 39.0      # V100, Table 6, n=2^15, 55-bit
 BASELINE_INTT_US = 23.0     # V100, Table 6
 BASELINE_NTT30_US = 27.7    # V100, Table 6, n=2^15, 30-bit family
 BASELINE_INTT30_US = 18.3
+# V100 Table 6, 55-bit family, (ntt_us, intt_us) per size
+BASELINE_TABLE6_US = {
+    2048: (12.5, 12.5), 4096: (22.5, 15.5), 8192: (27.0, 18.0),
+    16384: (29.0, 21.0), 32768: (39.0, 23.0),
+}
 # V100 Table 7 (us): keygen, encrypt, decrypt per parameter set
 BASELINE_BFV_US = {
     "4k_3q": (123.86, 85.82, 79.46),
@@ -98,6 +103,49 @@ def bench_transforms():
              f"measured in {time.perf_counter()-t0:.0f}s)")
         out[name] = us
         out[name + "_epochs"] = [round(e, 2) for e in epochs]
+    return out
+
+
+def bench_table6():
+    """Forward/inverse us per size across the 55-bit family (Table 6)."""
+    import jax
+    import jax.numpy as jnp
+    from ntt_cuda_tpu.ops import ntt_pallas
+    from ntt_cuda_tpu.params import get_params
+    from ntt_cuda_tpu.utils import profiling
+
+    out = {}
+    rng = np.random.default_rng(0)
+    for n, (b_f, b_i) in BASELINE_TABLE6_US.items():
+        if n == 32768:
+            continue   # covered by the headline 16-modulus measurement
+        q, psi, _, _, _ = get_params(n)
+        ftab = ntt_pallas.FourStepTables.build([q], [psi], n)
+        B = 16
+        xj = jnp.asarray(rng.integers(0, q, (B, n), dtype=np.uint64))
+
+        def make(inverse):
+            @jax.jit
+            def step(y, k):
+                def body(_, z):
+                    if inverse:
+                        return ntt_pallas.ntt_inverse(z, ftab)
+                    return ntt_pallas.ntt_forward(z, ftab)
+                return jax.lax.fori_loop(0, k, body, y)
+            return step
+
+        hi = max(128, (1 << 22) // n)
+        row = {}
+        for name, inverse, base in (("ntt", False, b_f), ("intt", True, b_i)):
+            per = profiling.time_chained_dynamic(
+                make(inverse), xj, inner_lo=hi // 4, inner_hi=hi,
+                reps=3, epochs=3)
+            us = per / B * 1e6
+            if us > 0:
+                row[f"{name}_us"] = round(us, 2)
+                row[f"{name}_vs_baseline"] = round(base / us, 3)
+        out[str(n)] = row
+        _log(f"[bench] table6 n={n}: {row}")
     return out
 
 
@@ -228,6 +276,7 @@ def main() -> None:
             "intt30_us": round(t30["intt30"], 2),
             "intt30_vs_baseline": round(BASELINE_INTT30_US / t30["intt30"], 3),
         })
+    detail["table6_55bit"] = bench_table6()
     if os.environ.get("BENCH_NTT_ONLY", "") != "1":
         sets = os.environ.get("BENCH_SETS", "")
         names = ([s for s in sets.split(",") if s] if sets

@@ -19,7 +19,7 @@ kernel with the polynomial resident in VMEM, decomposed four-step style
 Because both sub-transforms use the merged CT-bitrev form, the natural
 row-major output of the (n1, 128) tile IS the reference's bit-reversed
 output — no transposes, no permutations (verified exactly in
-scratch/check_4step.py and tests).  The inverse runs the mirror (lane GS
+tests/test_ntt_pallas.py).  The inverse runs the mirror (lane GS
 stages, inverse twiddle fix, row GS stages).
 
 Every stage — rows and lanes, both directions — uses the roll+select
@@ -31,7 +31,7 @@ distances and measurably slower even descending (34 -> 24 us/transform
 at n=2^15 from this change alone on v5e); a Pease constant-geometry
 variant (identical access pattern every stage, half-size multiplies)
 measured 1.9-3.8x WORSE — Mosaic's strided sublane interleaves dominate
-(scratch/cg_kernels.py, NOTES_NEXT_ROUND.md).
+(benchmarks/designs.py, NOTES_NEXT_ROUND.md).
 
 Arithmetic: u32-limb Shoup multiplication (ops/limb32.py) with two
 deliberate departures from the reference's per-stage bookkeeping, both
