@@ -50,14 +50,52 @@ def load_keypair(path, params):
 
 
 def save_ciphertext(path, params, ct) -> None:
-    """ct (2, r-1, n), coefficient domain, last modulus dropped."""
-    np.savez(path, kind="ciphertext", ct=np.asarray(ct, np.uint64),
+    """ct in either layout: (2, r-1, n) coefficient domain with the last
+    modulus dropped (single-chip pipelines), or (2, r, n) with the
+    reference's padding-in-place slot (SPMD pipelines,
+    bfv_encryption.cuh:216-222).  The layout is recorded and checked on
+    load."""
+    ct = np.asarray(ct, np.uint64)
+    if ct.shape == (2, params.r - 1, params.n):
+        layout = "dropped"
+    elif ct.shape == (2, params.r, params.n):
+        layout = "padded"
+    else:
+        raise ValueError(f"ciphertext shape {ct.shape} matches neither "
+                         f"(2, {params.r - 1}, {params.n}) nor "
+                         f"(2, {params.r}, {params.n})")
+    np.savez(path, kind="ciphertext", ct=ct, layout=layout,
              **_params_meta(params))
 
 
-def load_ciphertext(path, params):
+def load_ciphertext(path, params, layout: str | None = None):
+    """Load a ciphertext; `layout` ("dropped" | "padded") converts to the
+    requested layout if it differs from the stored one."""
     with np.load(path, allow_pickle=False) as data:
         if str(data["kind"]) != "ciphertext":
             raise ValueError(f"{path}: not a ciphertext file")
         _check_meta(data, params, path)
-        return data["ct"]
+        ct = data["ct"]
+        stored = str(data["layout"]) if "layout" in data else "dropped"
+    if layout is None or layout == stored:
+        return ct
+    if layout == "dropped":
+        return drop_padding(ct)
+    if layout == "padded":
+        return pad_ciphertext(ct, params)
+    raise ValueError(f"unknown layout {layout!r}")
+
+
+def pad_ciphertext(ct, params) -> np.ndarray:
+    """(2, r-1, n) -> (2, r, n): append a zero slot for the dropped
+    modulus.  The padded slot is never consumed (the SPMD decrypt's
+    BEHZ constants zero its contribution), so zeros are as valid as the
+    reference's in-place garbage."""
+    ct = np.asarray(ct, np.uint64)
+    pad = np.zeros((2, 1, params.n), np.uint64)
+    return np.concatenate([ct, pad], axis=1)
+
+
+def drop_padding(ct) -> np.ndarray:
+    """(2, r, n) -> (2, r-1, n): discard the dropped-modulus slot."""
+    return np.asarray(ct, np.uint64)[:, :-1]
