@@ -57,7 +57,10 @@ def main() -> None:
         tables = ntt.NTTTables.build([q], [psi], n)
         ms = modmath.ModulusSet.from_moduli([q])
         ftab = ntt_pallas.FourStepTables.build([q], [psi], n)
-        utab = designs_mod.tables_unscaled_tci([q], [psi], n)
+        utab = designs_mod.compact_tables([q], [psi], n,
+                                          unscale_tci=True)
+        ctab = designs_mod.compact_tables([q], [psi], n,
+                                          unscale_tci=False)
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.integers(0, q, (B, n), dtype=np.uint64))
         mi = jnp.zeros(B, jnp.int32)
@@ -75,7 +78,7 @@ def main() -> None:
             },
             "RI": dsn("RI", utab),
             "CG": dsn("CG", utab),
-            "RS": dsn("RS", ftab),
+            "RS": dsn("RS", ctab),
             "PG": {
                 "fwd": lambda c: ntt_pallas._transform(c, mi, ftab, False, False),
                 "inv": lambda c: ntt_pallas._transform(c, mi, ftab, True, False),

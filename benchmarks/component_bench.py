@@ -61,6 +61,7 @@ def main() -> None:
     @functools.partial(jax.jit, static_argnames=("parts",))
     def run(x64, tables, parts):
         n, n1 = tables.n, tables.n1
+        LA = (n1.bit_length() - 1) * n1   # expanded stage-A rows
         r = tables.qconst.shape[0]
         B = x64.shape[0]
         J = B // r
@@ -74,7 +75,7 @@ def main() -> None:
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, n1, N2), dmap,
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, 4, n1, N2), tmap,
+                      pl.BlockSpec((1, 4, LA, N2), tmap,
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, 4, n1, N2), tmap,
                                    memory_space=pltpu.VMEM),

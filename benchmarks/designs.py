@@ -35,8 +35,10 @@ U32 = jnp.uint32
 
 
 # ---------------------------------------------------------------------------
-# Tables: the shipped tables fold n^-1 into tci; the RI/CG designs halve
-# per stage, so they need the unscaled variant.
+# Tables.  The shipped FourStepTables carry per-stage-EXPANDED stage-A
+# planes (and fold n^-1 into tci); these historical designs slice the
+# COMPACT (4, n1, 128) planes and expand in-kernel, and the halving
+# designs (RI/CG) need the unscaled tci.
 # ---------------------------------------------------------------------------
 
 def _unscale_planes(planes: np.ndarray, q: int, n: int) -> np.ndarray:
@@ -45,16 +47,24 @@ def _unscale_planes(planes: np.ndarray, q: int, n: int) -> np.ndarray:
     return _plane_pack(w, q)
 
 
-def tables_unscaled_tci(qs, psis, n) -> ntt_pallas.FourStepTables:
-    """Shipped tables with tci/tcir un-folded (multiplied back by n)."""
-    t = ntt_pallas.FourStepTables.build(qs, psis, n)
-    tci = np.stack([_unscale_planes(np.asarray(t.tci[i]), int(q), n)
-                    for i, q in enumerate(qs)])
-    tcir = np.stack([_unscale_planes(np.asarray(t.tcir[i]), int(q), n)
-                     for i, q in enumerate(qs)])
-    import dataclasses
-    return dataclasses.replace(t, tci=jnp.asarray(tci),
-                               tcir=jnp.asarray(tcir))
+def compact_tables(qs, psis, n, unscale_tci: bool) -> ntt_pallas.FourStepTables:
+    """FourStepTables container with COMPACT stage-A planes; tci/tcir
+    un-folded (multiplied back by n) for the per-stage-halving designs."""
+    parts = [ntt_pallas._mod_tables(int(q), int(p), n)
+             for q, p in zip(qs, psis)]
+    stack = lambda i: jnp.asarray(np.stack([p[i] for p in parts]))
+    tci = stack(4)
+    tcir = stack(7)
+    if unscale_tci:
+        tci = jnp.asarray(np.stack(
+            [_unscale_planes(np.asarray(p[4]), int(q), n)
+             for p, q in zip(parts, qs)]))
+        tcir = jnp.asarray(np.stack(
+            [_unscale_planes(np.asarray(p[7]), int(q), n)
+             for p, q in zip(parts, qs)]))
+    return ntt_pallas.FourStepTables(
+        ta=stack(0), tc=stack(1), tb=stack(2), tai=stack(3), tci=tci,
+        tbi=stack(5), qconst=stack(6), tcir=tcir, n=n, n1=n // N2)
 
 
 # ---------------------------------------------------------------------------

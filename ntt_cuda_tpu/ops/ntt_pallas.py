@@ -50,9 +50,12 @@ bit-identical after final normalization:
 Measured on v5e at n=2^15 (16-modulus batch, same epoch): forward
 34.5 -> 18.3 us/transform, inverse 30.8 -> 20.8 (V100 baselines: 39/23).
 
-Twiddles: compact per-modulus tables — (4, n1, 128) for each of stage A /
-fix / inverse variants and (4, 8, 128) for stage B — ~1 MB per 55-bit
-modulus at n = 2^15 vs 8 MB for naive per-stage broadcast tables.
+Twiddles: the stage-A tables are stored per-stage row-EXPANDED
+((4, log2(n1)*n1, 128) — expand_stage_a) because the in-kernel
+broadcast+reshape expand of compact rows cost ~4.3 us per stage-A pass,
+net of the larger fetch (which the grid pipeline hides).  Fix tables
+stay compact (4, n1, 128), stage-B (4, 8, 128): ~9 MB per 55-bit modulus
+at n = 2^15.
 """
 
 from __future__ import annotations
@@ -193,6 +196,26 @@ def _mod_tables(q: int, psi: int, n: int):
     return ta, tc_p, tb_p, tai, tci_p, tbi_p, qconst, tcir_p
 
 
+def expand_stage_a(planes: np.ndarray, n1: int) -> np.ndarray:
+    """(4, n1, 128) compact stage-A planes -> (4, log2(n1)*n1, 128)
+    per-stage row-expanded planes: stage s occupies rows
+    [s*n1, (s+1)*n1), row i holding the group twiddle
+    compact[2^s + i // (2*(n1 >> (s+1)))].
+
+    The in-kernel broadcast+reshape expand of the compact rows cost
+    ~4.3 us per stage-A pass at n1=256 even net of the 8x larger table
+    fetch (measured 15.1 -> 10.85 us for the 8 inverse row stages on
+    v5e), so the expansion is done once at table-build time."""
+    L1 = n1.bit_length() - 1
+    out = np.empty((4, L1 * n1, planes.shape[2]), np.uint32)
+    for s in range(L1):
+        m = 1 << s
+        d = n1 >> (s + 1)
+        out[:, s * n1:(s + 1) * n1] = np.repeat(
+            planes[:, m:2 * m], 2 * d, axis=1)
+    return out
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["ta", "tc", "tb", "tai", "tci", "tbi", "qconst", "tcir"],
@@ -200,10 +223,10 @@ def _mod_tables(q: int, psi: int, n: int):
 )
 @dataclasses.dataclass(frozen=True)
 class FourStepTables:
-    ta: jax.Array    # (r, 4, n1, 128)
+    ta: jax.Array    # (r, 4, log2(n1)*n1, 128) — per-stage expanded rows
     tc: jax.Array    # (r, 4, n1, 128)
     tb: jax.Array    # (r, 4, 8, 128)
-    tai: jax.Array
+    tai: jax.Array   # (r, 4, log2(n1)*n1, 128)
     tci: jax.Array
     tbi: jax.Array
     qconst: jax.Array  # (r, 8) u32: q, 2q, (q+1)/2, -q^-1 mod 2^64 limbs
@@ -214,12 +237,15 @@ class FourStepTables:
     @staticmethod
     def build(qs, psis, n: int) -> "FourStepTables":
         parts = [_mod_tables(int(q), int(p), n) for q, p in zip(qs, psis)]
+        n1 = n // N2
         stack = lambda i: jnp.asarray(np.stack([p[i] for p in parts]))
+        stack_exp = lambda i: jnp.asarray(np.stack(
+            [expand_stage_a(p[i], n1) for p in parts]))
         return FourStepTables(
-            ta=stack(0), tc=stack(1), tb=stack(2),
-            tai=stack(3), tci=stack(4), tbi=stack(5), qconst=stack(6),
+            ta=stack_exp(0), tc=stack(1), tb=stack(2),
+            tai=stack_exp(3), tci=stack(4), tbi=stack(5), qconst=stack(6),
             tcir=stack(7),
-            n=n, n1=n // N2,
+            n=n, n1=n1,
         )
 
 
@@ -267,6 +293,15 @@ def _partner_rows(x, d, n1, u_mask, interpret):
         tuple(_roll_rows(v, d, interpret) for v in x))
 
 
+def _stage_rows(ta_ref, s: int, n1: int):
+    """(w, wp) limb pairs for stage s from a per-stage-expanded
+    (4, log2(n1)*n1, 128) plane ref (expand_stage_a)."""
+    lo = s * n1
+    hi = lo + n1
+    return ((ta_ref[0, lo:hi, :], ta_ref[1, lo:hi, :]),
+            (ta_ref[2, lo:hi, :], ta_ref[3, lo:hi, :]))
+
+
 def _stage_a_fwd(x, ta_ref, q, four_q, n1, row, interpret):
     """CT row stages, roll+select: the twiddle product runs on the pair's
     v element (selected per row); u rows keep x, v rows use the partner.
@@ -275,14 +310,11 @@ def _stage_a_fwd(x, ta_ref, q, four_q, n1, row, interpret):
     docstring)."""
     L1 = n1.bit_length() - 1
     for s in range(L1):
-        m = 1 << s
         d = n1 >> (s + 1)
         u_mask = (row & U32(d)) == 0
         p = _partner_rows(x, d, n1, u_mask, interpret)
         v_val = limb32.select64(u_mask, p, x)
-        (w0, w1), (p0, p1) = _tab_slice(ta_ref, m, 2 * m)
-        w = (_expand_rows(w0, m, d), _expand_rows(w1, m, d))
-        wp = (_expand_rows(p0, m, d), _expand_rows(p1, m, d))
+        w, wp = _stage_rows(ta_ref, s, n1)
         t = limb32.shoup_mulmod_lazy4(v_val, w, wp, q)
         res_u = limb32.reduce_once(limb32.add64(x, t), four_q)
         res_v = limb32.reduce_once(
@@ -300,15 +332,12 @@ def _stage_a_inv(x, tai_ref, q, four_q, n1, row, interpret):
     u+v, v rows take (u-v)*psi^-1 (n^-1 lives in the fix tables)."""
     L1 = n1.bit_length() - 1
     for s in reversed(range(L1)):
-        m = 1 << s
         d = n1 >> (s + 1)
         u_mask = (row & U32(d)) == 0
         p = _partner_rows(x, d, n1, u_mask, interpret)
         s_sum = limb32.reduce_once(limb32.add64(x, p), four_q)
         d_dif = limb32.sub64(limb32.add64(p, four_q), x)  # u-v on v rows
-        (w0, w1), (p0, p1) = _tab_slice(tai_ref, m, 2 * m)
-        w = (_expand_rows(w0, m, d), _expand_rows(w1, m, d))
-        wp = (_expand_rows(p0, m, d), _expand_rows(p1, m, d))
+        w, wp = _stage_rows(tai_ref, s, n1)
         t = limb32.shoup_mulmod_lazy4(d_dif, w, wp, q)
         x = limb32.select64(u_mask, s_sum, t)
         if interpret:
@@ -421,6 +450,7 @@ def _transform(x64, mod_idx, tables: FourStepTables, inverse: bool,
     """General path: arbitrary per-poly modulus assignment via a prefetched
     index map."""
     n, n1 = tables.n, tables.n1
+    LA = (n1.bit_length() - 1) * n1   # expanded stage-A rows
     batch_shape = x64.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
     x64 = x64.reshape(B, n1, N2)
@@ -440,7 +470,7 @@ def _transform(x64, mod_idx, tables: FourStepTables, inverse: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n1, N2), lambda b, mi, qc: (b, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, n1, N2), lambda b, mi, qc: (mi[b], z, z, z),
+            pl.BlockSpec((1, 4, LA, N2), lambda b, mi, qc: (mi[b], z, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, n1, N2), lambda b, mi, qc: (mi[b], z, z, z),
                          memory_space=pltpu.VMEM),
@@ -484,6 +514,7 @@ def _transform_tiled(x64, tables: FourStepTables, inverse: bool,
     modulus is fetched once and reused across its polys (13% over the
     general path at n=2^15, r=9 on v5e)."""
     n, n1 = tables.n, tables.n1
+    LA = (n1.bit_length() - 1) * n1   # expanded stage-A rows
     r = tables.qconst.shape[0]
     batch_shape = x64.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -505,7 +536,7 @@ def _transform_tiled(x64, tables: FourStepTables, inverse: bool,
         in_specs=[
             pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, LA, N2), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, 8, N2), tmap, memory_space=pltpu.VMEM),
         ],
@@ -605,6 +636,7 @@ def _make_kernel_inv_mul(n1: int, interpret: bool):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _transform_inv_mul(x64, y64, tables: FourStepTables, interpret: bool):
     n, n1 = tables.n, tables.n1
+    LA = (n1.bit_length() - 1) * n1   # expanded stage-A rows
     r = tables.qconst.shape[0]
     batch_shape = x64.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -623,7 +655,7 @@ def _transform_inv_mul(x64, y64, tables: FourStepTables, interpret: bool):
             pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, LA, N2), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, 8, N2), tmap, memory_space=pltpu.VMEM),
         ],

@@ -32,6 +32,19 @@ from ..utils import hostmath as hm
 from . import limb32
 from .ntt_pallas import N2, L2, _bitrev_vec, _roll, _roll_rows
 
+
+def _expand_stage_a32(planes: np.ndarray, n1: int) -> np.ndarray:
+    """(2, n1, 128) compact stage-A planes -> (2, log2(n1)*n1, 128)
+    per-stage row-expanded (see ntt_pallas.expand_stage_a)."""
+    L1 = n1.bit_length() - 1
+    out = np.empty((2, L1 * n1, planes.shape[2]), np.uint32)
+    for s in range(L1):
+        m = 1 << s
+        d = n1 >> (s + 1)
+        out[:, s * n1:(s + 1) * n1] = np.repeat(
+            planes[:, m:2 * m], 2 * d, axis=1)
+    return out
+
 U32 = jnp.uint32
 
 
@@ -108,7 +121,7 @@ def _mod_tables30(q: int, psi: int, n: int):
 )
 @dataclasses.dataclass(frozen=True)
 class FourStepTables30:
-    ta: jax.Array    # (r, 2, n1, 128) u32 [w, wp32]
+    ta: jax.Array    # (r, 2, log2(n1)*n1, 128) u32 [w, wp32], per-stage rows
     tc: jax.Array
     tb: jax.Array    # (r, 2, 8, 128)
     tai: jax.Array
@@ -121,10 +134,13 @@ class FourStepTables30:
     @staticmethod
     def build(qs, psis, n: int) -> "FourStepTables30":
         parts = [_mod_tables30(int(q), int(p), n) for q, p in zip(qs, psis)]
+        n1 = n // N2
         stack = lambda i: jnp.asarray(np.stack([p[i] for p in parts]))
+        stack_exp = lambda i: jnp.asarray(np.stack(
+            [_expand_stage_a32(p[i], n1) for p in parts]))
         return FourStepTables30(
-            ta=stack(0), tc=stack(1), tb=stack(2), tai=stack(3),
-            tci=stack(4), tbi=stack(5), qconst=stack(6), n=n, n1=n // N2)
+            ta=stack_exp(0), tc=stack(1), tb=stack(2), tai=stack_exp(3),
+            tci=stack(4), tbi=stack(5), qconst=stack(6), n=n, n1=n1)
 
 
 # ---------------------------------------------------------------------------
@@ -144,15 +160,6 @@ def _reduce32(x, m):
     return x - m * (x >= m).astype(U32)
 
 
-def _tab32(ref, lo, hi):
-    return ref[0, lo:hi, :], ref[1, lo:hi, :]
-
-
-def _expand_rows32(w, m: int, d: int):
-    return jnp.broadcast_to(w[:, None, :], (m, 2 * d, N2)).reshape(
-        m * 2 * d, N2)
-
-
 def _partner_rows32(x, d, n1, u_mask, interpret):
     return jnp.where(u_mask, _roll_rows(x, n1 - d, interpret),
                      _roll_rows(x, d, interpret))
@@ -161,14 +168,13 @@ def _partner_rows32(x, d, n1, u_mask, interpret):
 def _stage_a_fwd30(x, ta_ref, q, two_q, n1, row, interpret):
     L1 = n1.bit_length() - 1
     for s in range(L1):
-        m = 1 << s
         d = n1 >> (s + 1)
         u_mask = (row & U32(d)) == 0
         p = _partner_rows32(x, d, n1, u_mask, interpret)
         v_val = jnp.where(u_mask, p, x)
-        w0, p0 = _tab32(ta_ref, m, 2 * m)
-        t = _shoup32(v_val, _expand_rows32(w0, m, d),
-                     _expand_rows32(p0, m, d), q)
+        lo = s * n1
+        t = _shoup32(v_val, ta_ref[0, lo:lo + n1, :],
+                     ta_ref[1, lo:lo + n1, :], q)
         res_u = _reduce32(x + t, two_q)
         res_v = _reduce32(p + two_q - t, two_q)
         x = jnp.where(u_mask, res_u, res_v)
@@ -180,15 +186,14 @@ def _stage_a_fwd30(x, ta_ref, q, two_q, n1, row, interpret):
 def _stage_a_inv30(x, tai_ref, q, two_q, n1, row, interpret):
     L1 = n1.bit_length() - 1
     for s in reversed(range(L1)):
-        m = 1 << s
         d = n1 >> (s + 1)
         u_mask = (row & U32(d)) == 0
         p = _partner_rows32(x, d, n1, u_mask, interpret)
         s_sum = _reduce32(x + p, two_q)
         d_dif = p + two_q - x
-        w0, p0 = _tab32(tai_ref, m, 2 * m)
-        t = _shoup32(d_dif, _expand_rows32(w0, m, d),
-                     _expand_rows32(p0, m, d), q)
+        lo = s * n1
+        t = _shoup32(d_dif, tai_ref[0, lo:lo + n1, :],
+                     tai_ref[1, lo:lo + n1, :], q)
         x = jnp.where(u_mask, s_sum, t)
         if interpret:
             x = jax.lax.optimization_barrier(x)
@@ -252,6 +257,7 @@ def _make_kernel30(n1: int, inverse: bool, interpret: bool):
 def _transform30(x32, tables: FourStepTables30, inverse: bool,
                  interpret: bool):
     n, n1 = tables.n, tables.n1
+    LA = (n1.bit_length() - 1) * n1
     r = tables.qconst.shape[0]
     batch_shape = x32.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -269,7 +275,7 @@ def _transform30(x32, tables: FourStepTables30, inverse: bool,
         grid=(r, J),
         in_specs=[
             pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, LA, N2), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, n1, N2), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 8, N2), tmap, memory_space=pltpu.VMEM),
         ],

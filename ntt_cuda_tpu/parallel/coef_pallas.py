@@ -41,8 +41,9 @@ U64 = jnp.uint64
 
 def _gather_shard_tables(q: int, psi: int, n: int, C: int):
     """Per-shard local FourStepTables planes for one modulus:
-    (C, 4, n1_local, 128) stage-A tables (forward + inverse), sliced fix
-    tables, shared stage-B tables, qconst."""
+    (C, 4, log2(n1_l)*n1_l, 128) per-stage-EXPANDED stage-A tables
+    (forward + inverse; ntt_pallas.expand_stage_a), sliced fix tables,
+    shared stage-B tables, qconst."""
     ta, tc, tb, tai, tci, tbi, qconst, tcir = ntt_pallas._mod_tables(
         q, psi, n)
     n1 = n // N2
@@ -56,12 +57,16 @@ def _gather_shard_tables(q: int, psi: int, n: int, C: int):
             ta_c[c, :, m:2 * m] = ta[:, lo:lo + m]
             tai_c[c, :, m:2 * m] = tai[:, lo:lo + m]
             m *= 2
+    ta_e = np.stack([ntt_pallas.expand_stage_a(ta_c[c], n1_l)
+                     for c in range(C)])
+    tai_e = np.stack([ntt_pallas.expand_stage_a(tai_c[c], n1_l)
+                      for c in range(C)])
     tc_c = np.stack([tc[:, c * n1_l:(c + 1) * n1_l] for c in range(C)])
     tci_c = np.stack([tci[:, c * n1_l:(c + 1) * n1_l] for c in range(C)])
     tcir_c = np.stack([tcir[:, c * n1_l:(c + 1) * n1_l] for c in range(C)])
     tb_c = np.broadcast_to(tb, (C,) + tb.shape).copy()
     tbi_c = np.broadcast_to(tbi, (C,) + tbi.shape).copy()
-    return ta_c, tc_c, tb_c, tai_c, tci_c, tbi_c, qconst, tcir_c
+    return ta_e, tc_c, tb_c, tai_e, tci_c, tbi_c, qconst, tcir_c
 
 
 @dataclasses.dataclass(frozen=True)

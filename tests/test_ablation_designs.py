@@ -22,8 +22,8 @@ from ntt_cuda_tpu.params import get_bfv_params  # noqa: E402
 def test_design_bitexact(rng, design):
     p = get_bfv_params("4k_3q")
     ftab = ntt_pallas.tables_for(p)
-    tab = (designs.tables_unscaled_tci(p.q, p.psi, p.n)
-           if design in ("RI", "CG") else ftab)
+    tab = designs.compact_tables(p.q, p.psi, p.n,
+                                 unscale_tci=design in ("RI", "CG"))
     x = jnp.asarray(np.stack(
         [rng.integers(0, p.q[i], p.n, dtype=np.uint64)
          for i in range(p.r)]))
