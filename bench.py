@@ -56,6 +56,17 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_T0 = time.time()
+# soft wall-clock budget: cold first compiles through the TPU tunnel run
+# 20-170 s per shape, and the full sweep has ~30 of them — never let the
+# harness die without printing the headline JSON line
+DEADLINE_SEC = float(os.environ.get("BENCH_DEADLINE_SEC", "2700"))
+
+
+def _over_budget() -> bool:
+    return time.time() - _T0 > DEADLINE_SEC
+
+
 def bench_transforms():
     """Forward + inverse NTT us/transform over the 16-modulus RNS batch of
     the 32k/16q set (the reference's largest constant-bank configuration),
@@ -119,6 +130,9 @@ def bench_table6():
     for n, (b_f, b_i) in BASELINE_TABLE6_US.items():
         if n == 32768:
             continue   # covered by the headline 16-modulus measurement
+        if _over_budget():
+            _log(f"[bench] over time budget, skipping table6 n={n}")
+            continue
         q, psi, _, _, _ = get_params(n)
         ftab = ntt_pallas.FourStepTables.build([q], [psi], n)
         B = 16
@@ -199,6 +213,9 @@ def bench_bfv(set_names):
 
     results = {}
     for name in set_names:
+        if _over_budget():
+            _log(f"[bench] over time budget, skipping {name}")
+            continue
         p = get_bfv_params(name)
         ctx = bfv.BFVContext.build(p)
         n, r = p.n, p.r
@@ -279,8 +296,9 @@ def main() -> None:
     detail["table6_55bit"] = bench_table6()
     if os.environ.get("BENCH_NTT_ONLY", "") != "1":
         sets = os.environ.get("BENCH_SETS", "")
+        # headline 32k sets first: a time-budget cut drops small sets
         names = ([s for s in sets.split(",") if s] if sets
-                 else list(BASELINE_BFV_US))
+                 else ["32k_9q", "32k_16q", "4k_3q", "8k_4q", "16k_5q"])
         detail["bfv_table7"] = bench_bfv(names)
 
     record = {

@@ -120,6 +120,11 @@ def _bitrev_vec(k: int) -> np.ndarray:
 @functools.lru_cache(maxsize=64)
 def _mod_tables(q: int, psi: int, n: int):
     """Forward + inverse four-step tables for one modulus (numpy u32)."""
+    if q >= (1 << 61):
+        # the loose-mulhi Shoup keeps lazy representatives in [0, 4q);
+        # butterflies reach 8q, which must stay below 2^64
+        raise ValueError(f"modulus {q} has {q.bit_length()} bits; the "
+                         f"fused kernel requires q < 2^61")
     n1 = n // N2
     L1 = n1.bit_length() - 1
     psiinv = hm.modinv(psi, q)

@@ -58,3 +58,14 @@ def test_30bit_family_pallas(rng):
     got_im = np.asarray(ntt_pallas.ntt_inverse_mul(
         jnp.asarray(x), jnp.asarray(y), ftab, interpret=True))
     np.testing.assert_array_equal(got_im, ref_im)
+
+
+def test_rejects_moduli_beyond_61_bits():
+    """The loose-mulhi Shoup domain needs 8q < 2^64; table construction
+    must refuse larger moduli instead of silently wrapping."""
+    import pytest as _pytest
+    from ntt_cuda_tpu.utils import primegen
+    q = primegen.generate_moduli(2048, 62, 1)[0]
+    psi = primegen.find_primitive_2n_root(q, 2048)
+    with _pytest.raises(ValueError, match="2\\^61"):
+        ntt_pallas.FourStepTables.build([q], [psi], 2048)
