@@ -85,6 +85,15 @@ def _inv_mul(x, y, tables, ftab, ms, backend: str):
         x, y, ftab, interpret=(backend == "pallas-interpret"))
 
 
+def _fwd_addneg(x, e, tables, ftab, ms, backend: str):
+    """NTT(-(x + e)) — fused on the pallas backends (keygen's
+    poly_add_negate_xq immediately feeds pk0's forward transform)."""
+    if backend == "xla":
+        return ntt.ntt_forward(poly.poly_add_negate(x, e, ms), tables, ms)
+    return ntt_pallas.ntt_forward_addneg(
+        x, e, ftab, interpret=(backend == "pallas-interpret"))
+
+
 @dataclasses.dataclass(frozen=True)
 class BFVContext:
     """Device-resident constants for one parameter set, plus jitted ops.
@@ -214,8 +223,7 @@ def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str,
         ks_impl="pallas" if backend == "pallas" else "xla")
     sk = _fwd(s, tables, ftab, ms, backend)             # s kept in NTT domain
     pk0 = _inv_mul(a, sk, tables, ftab, ms, backend)    # INTT(a (.) s-hat)
-    pk0 = poly.poly_add_negate(pk0, e, ms)              # -(a*s + e)
-    pk0 = _fwd(pk0, tables, ftab, ms, backend)
+    pk0 = _fwd_addneg(pk0, e, tables, ftab, ms, backend)   # NTT(-(a*s + e))
     return sk, jnp.stack([pk0, a])
 
 
@@ -234,16 +242,18 @@ def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
         n, r, ms_full, nonce=nonce,
         ks_impl="pallas" if backend == "pallas" else "xla")
     u_ntt = _fwd(u, tables, ftab, ms_full, backend)     # (r, n), once
-    c = jnp.broadcast_to(u_ntt, (2, r, n))
-    c = _inv_mul(c, pk, tables, ftab, ms_full, backend)
     e = jnp.stack([e0, e1])
     if backend == "xla":
+        c = jnp.broadcast_to(u_ntt, (2, r, n))
+        c = _inv_mul(c, pk, tables, ftab, ms_full, backend)
         c = poly.poly_add(c, e, ms_full)                # `>` quirk preserved
         c = poly.divide_and_round_q_last(c, dr_consts, ms_drop, ms_last)
         c0 = poly.add_message(c[0], m_poly, msg_consts)
         return jnp.stack([c0, c[1]])
-    return bfv_tail.encrypt_tail(c, e, m_poly.astype(U64), tail_consts,
-                                 interpret=(backend == "pallas-interpret"))
+    # everything after NTT(u) runs in ONE kernel
+    return bfv_tail.encrypt_fused(u_ntt, pk, e, m_poly.astype(U64),
+                                  ftab, tail_consts,
+                                  interpret=(backend == "pallas-interpret"))
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))
@@ -257,5 +267,10 @@ def _decrypt_jit(sk_drop, ct, ms, tables, ftab, dec_consts, dec_tail_consts,
         x = poly.poly_mul_scalar_mont(x, dec_consts.prod_t_gamma_mont, ms)
         x = poly.poly_mul_scalar_mont(x, dec_consts.inv_punctured_mont, ms)
         return poly.fast_convert_and_round(x, dec_consts)
+    # NOTE: a fully fused back half exists (bfv_tail.decrypt_fused,
+    # bit-exact, golden-tested) but measured ~15% SLOWER than this
+    # two-kernel pipeline on v5e (251 vs 218 us at 32k_9q — the fused
+    # grid's larger per-step working set defeats Mosaic's pipelining),
+    # so the pipeline stays.
     return bfv_tail.decrypt_tail(x, ct[0], dec_tail_consts,
                                  interpret=(backend == "pallas-interpret"))

@@ -321,6 +321,285 @@ def decrypt_tail(x, ct0, consts: DecTailConsts, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Fully fused decrypt back half: dyadic (.) sk + inverse NTT + tail.
+# ---------------------------------------------------------------------------
+
+def _make_dec_fused_kernel(log2t: int, neg_t: int, rk: int, n1: int,
+                           interpret: bool):
+    """One kernel for everything after decrypt's forward transform:
+    per kept residue, x = INTT(x (.) sk) (the fused-dyadic inverse,
+    ops/ntt_pallas.py), then the decrypt tail of _make_dec_kernel —
+    saving the (r-1, n) x tensor's HBM round trip between the two
+    kernels plus a dispatch.  Bit-identical to
+    ntt_inverse_mul + decrypt_tail."""
+    from . import ntt_pallas as ntp
+
+    def kernel(pm_ref, gl_ref, qc_ref, xl_ref, xh_ref, skl_ref, skh_ref,
+               cl_ref, ch_ref, tai_ref, tcir_ref, tbi_ref,
+               out_ref, xt_ref, xgl_ref, xgh_ref):
+        mi = pl.program_id(0)
+        # --- INTT(x (.) sk) (cf. ntt_pallas._make_kernel_inv_mul) ---
+        qq = (qc_ref[mi, 0], qc_ref[mi, 1])
+        two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
+        four_q = limb32.add64(two_q, two_q)
+        qmont_inv = (qc_ref[mi, 6], qc_ref[mi, 7])
+        x = (xl_ref[0], xh_ref[0])
+        y = (skl_ref[0], skh_ref[0])
+        x = limb32.mont_mul_lazy(x, y, qq, qmont_inv)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        rowi = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        x = ntp._stage_b_inv(x, tbi_ref.at[0], qq, four_q, lane, interpret)
+        x = ntp._elementwise_fix(x, tcir_ref.at[0], qq)
+        x = ntp._stage_a_inv(x, tai_ref.at[0], qq, four_q, n1, rowi,
+                             interpret)
+        x = ntp._normalize(x, qq, two_q)
+
+        # --- decrypt tail (cf. _make_dec_kernel) ---
+        q = (pm_ref[mi, 0], pm_ref[mi, 1])
+        qinv = (pm_ref[mi, 2], pm_ref[mi, 3])
+        ptg = (pm_ref[mi, 4], pm_ref[mi, 5])
+        ipq = (pm_ref[mi, 6], pm_ref[mi, 7])
+        bct = (pm_ref[mi, 8], pm_ref[mi, 9])
+        bcg = (pm_ref[mi, 10], pm_ref[mi, 11])
+        gam = (gl_ref[0], gl_ref[1])
+        ginv = (gl_ref[2], gl_ref[3])
+        gdiv2 = (gl_ref[4], gl_ref[5])
+        negg = (gl_ref[6], gl_ref[7])
+        mask = U32((1 << log2t) - 1)
+
+        c0 = (cl_ref[0], ch_ref[0])
+        s = limb32.add64(x, c0)
+        s = limb32.cond_sub64(s, q, limb32.gt64(s, q))
+        y_ = _mont_exact(s, ptg, q, qinv)
+        y_ = _mont_exact(y_, ipq, q, qinv)
+        part_t = limb32.mullo64(y_, bct)[0] & mask
+        part_g = _mont_exact(y_, bcg, gam, ginv)
+
+        @pl.when(mi == 0)
+        def _init():
+            xt_ref[...] = part_t
+            xgl_ref[...] = part_g[0]
+            xgh_ref[...] = part_g[1]
+
+        @pl.when(mi > 0)
+        def _acc():
+            xt_ref[...] = xt_ref[...] + part_t
+            acc = limb32.add64((xgl_ref[...], xgh_ref[...]), part_g)
+            acc = limb32.reduce_once(acc, gam)
+            xgl_ref[...] = acc[0]
+            xgh_ref[...] = acc[1]
+
+        @pl.when(mi == rk - 1)
+        def _final():
+            x_t = ((xt_ref[...] & mask) * U32(neg_t)) & mask
+            x_g = _mont_exact((xgl_ref[...], xgh_ref[...]), negg, gam, ginv)
+            over = limb32.gt64(x_g, gdiv2)
+            plus = x_t + (gam[0] - x_g[0])
+            minus = x_t - x_g[0]
+            out_ref[0] = jnp.where(over, plus, minus) & mask
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decrypt_fused(x_ntt, sk, ct0, ftab, consts: DecTailConsts,
+                  interpret: bool = False):
+    """(r-1, n) x = NTT(c1), (r-1, n) NTT-domain sk, (r-1, n) c0 ->
+    (n,) plaintext.  Bit-identical to
+    ntt_pallas.ntt_inverse_mul(x, sk) followed by decrypt_tail."""
+    rk, n = x_ntt.shape
+    n1 = n // N2
+    LA = (n1.bit_length() - 1) * n1
+    xl, xh = limb32.to_pair(x_ntt.reshape(rk, n1, N2))
+    sl, sh = limb32.to_pair(jnp.broadcast_to(sk, x_ntt.shape)
+                            .reshape(rk, n1, N2))
+    cl, ch = limb32.to_pair(ct0.reshape(rk, n1, N2))
+
+    z = np.int32(0)
+    dmap = lambda mi, pm, gl, qc: (mi, z, z)
+    tmap4 = lambda mi, pm, gl, qc: (mi, z, z, z)
+    omap = lambda mi, pm, gl, qc: (z, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # per_mod, glob, qconst
+        grid=(rk,),
+        in_specs=[bs(dmap), bs(dmap),          # x
+                  bs(dmap), bs(dmap),          # sk
+                  bs(dmap), bs(dmap),          # c0
+                  pl.BlockSpec((1, 4, LA, N2), tmap4,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 4, n1, N2), tmap4,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 4, 8, N2), tmap4,
+                               memory_space=pltpu.VMEM)],
+        out_specs=[bs(omap)],
+        scratch_shapes=[pltpu.VMEM((n1, N2), jnp.uint32)] * 3,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        _make_dec_fused_kernel(consts.log2t, consts.neg_t, rk, n1,
+                               interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, n1, N2), jnp.uint32)],
+        interpret=interpret,
+        **kwargs,
+    )(consts.per_mod, consts.glob, ftab.qconst, xl, xh, sl, sh, cl, ch,
+      ftab.tai, ftab.tcir, ftab.tbi)[0]
+    if interpret:
+        out = jax.lax.optimization_barrier(out)
+    return out.reshape(n).astype(jnp.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused encrypt back half: dyadic (.) pk + inverse NTT + tail.
+# ---------------------------------------------------------------------------
+
+def _make_enc_fused_kernel(log2t: int, r: int, n1: int, interpret: bool):
+    """One kernel for everything after encrypt's forward transform of u:
+    per (residue, ciphertext-half) grid step, c = INTT(u_ntt (.) pk),
+    then the encrypt tail of _make_kernel.  The tail needs the adjusted
+    LAST residue ((c+e) + q_last/2) broadcast to every kept residue, so
+    the grid maps step m=0 to the last residue (both halves first, its
+    ra kept in VMEM scratch) and steps m>=1 to kept residue m-1.
+    Bit-identical to ntt_inverse_mul + encrypt_tail."""
+    from . import ntt_pallas as ntp
+    rr = np.int32(r)
+
+    def kernel(pm_ref, gl_ref, qc_ref, xl_ref, xh_ref, yl_ref, yh_ref,
+               el_ref, eh_ref, ml_ref, mh_ref, tai_ref, tcir_ref, tbi_ref,
+               ol_ref, oh_ref, ra_l, ra_h):
+        m_step = pl.program_id(0)
+        half_idx = pl.program_id(1)
+        mi = jnp.where(m_step == 0, rr - 1, m_step - 1)
+        # --- INTT(u_ntt (.) pk) ---
+        qq = (qc_ref[mi, 0], qc_ref[mi, 1])
+        two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
+        four_q = limb32.add64(two_q, two_q)
+        qmont_inv = (qc_ref[mi, 6], qc_ref[mi, 7])
+        x = (xl_ref[0], xh_ref[0])
+        y = (yl_ref[0], yh_ref[0])
+        x = limb32.mont_mul_lazy(x, y, qq, qmont_inv)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        rowi = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        x = ntp._stage_b_inv(x, tbi_ref.at[0], qq, four_q, lane, interpret)
+        x = ntp._elementwise_fix(x, tcir_ref.at[0], qq)
+        x = ntp._stage_a_inv(x, tai_ref.at[0], qq, four_q, n1, rowi,
+                             interpret)
+        x = ntp._normalize(x, qq, two_q)
+
+        # --- c += e (strict `>` quirk), on this residue ---
+        e = (el_ref[0], eh_ref[0])
+        s = limb32.add64(x, e)
+        s = limb32.cond_sub64(s, qq, limb32.gt64(s, qq))
+
+        q_last = (gl_ref[0], gl_ref[1])
+        half = (gl_ref[2], gl_ref[3])
+
+        @pl.when(m_step == 0)
+        def _last():
+            # adjusted last residue into scratch; the output slot is
+            # garbage by design (overwritten by the m=1 step's block)
+            ra = limb32.add64(s, half)
+            ra = limb32.reduce_once(ra, q_last)
+            ra_l[half_idx] = ra[0]
+            ra_h[half_idx] = ra[1]
+            ol_ref[0] = s[0]
+            oh_ref[0] = s[1]
+
+        @pl.when(m_step > 0)
+        def _kept():
+            ki = m_step - 1
+            q = (pm_ref[ki, 0], pm_ref[ki, 1])
+            qinv = (pm_ref[ki, 2], pm_ref[ki, 3])
+            nu = (pm_ref[ki, 4], pm_ref[ki, 5])
+            half_mod = (pm_ref[ki, 6], pm_ref[ki, 7])
+            invq_mont = (pm_ref[ki, 8], pm_ref[ki, 9])
+            qi_div_t = (pm_ref[ki, 10], pm_ref[ki, 11])
+            ra = (ra_l[half_idx], ra_h[half_idx])
+            zero = (jnp.zeros_like(q[0]), jnp.zeros_like(q[1]))
+            tmp = _mod_u64(ra, q, nu)
+            tmp = limb32.add64(tmp, limb32.select64(
+                limb32.lt64(tmp, half_mod), q, zero))
+            tmp = limb32.sub64(tmp, half_mod)
+            v = limb32.add64(s, limb32.select64(limb32.lt64(s, tmp), q,
+                                                zero))
+            v = limb32.sub64(v, tmp)
+            out = limb32.mont_mul_lazy(v, invq_mont, q, qinv)
+            out = limb32.reduce_once(out, q)
+            mw = (ml_ref[0], mh_ref[0])
+            fix = ((mw[0] + U32(1 << (log2t - 1))) >> U32(log2t),
+                   jnp.zeros_like(mw[1]))
+            dm = limb32.mullo64(mw, qi_div_t)
+            withm = limb32.add64(limb32.add64(out, dm), fix)
+            withm = _mod_u64(withm, q, nu)
+            res = limb32.select64(half_idx == 0, withm, out)
+            ol_ref[0] = res[0]
+            oh_ref[0] = res[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encrypt_fused(u_ntt, pk, e, m_poly, ftab, consts: TailConsts,
+                  interpret: bool = False):
+    """(r, n) u_ntt = NTT(u), (2, r, n) NTT-domain pk, (2, r, n) e,
+    (n,) m -> (2, r-1, n) ciphertext.  Bit-identical to
+    ntt_inverse_mul(broadcast(u_ntt), pk) followed by encrypt_tail
+    (which equals poly_add + divide_and_round + add_message)."""
+    r, n = u_ntt.shape
+    n1 = n // N2
+    LA = (n1.bit_length() - 1) * n1
+    xl, xh = limb32.to_pair(u_ntt.reshape(r, n1, N2))
+    yl, yh = limb32.to_pair(pk.reshape(2 * r, n1, N2))
+    el, eh = limb32.to_pair(e.reshape(2 * r, n1, N2))
+    ml, mh = limb32.to_pair(m_poly.reshape(1, n1, N2))
+
+    z = np.int32(0)
+    rr = np.int32(r)
+    res = lambda m: jnp.where(m == 0, rr - 1, m - 1)
+    umap = lambda m, h, pm, gl, qc: (res(m), z, z)         # u_ntt: no half
+    dmap = lambda m, h, pm, gl, qc: (h * rr + res(m), z, z)
+    mmap = lambda m, h, pm, gl, qc: (z, z, z)
+    omap = lambda m, h, pm, gl, qc: (
+        h * (rr - 1) + jnp.maximum(m, 1) - 1, z, z)
+    tmap = lambda m, h, pm, gl, qc: (res(m), z, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # per_mod (r-1 rows), glob, qconst
+        grid=(r, 2),
+        in_specs=[bs(umap), bs(umap),          # u_ntt
+                  bs(dmap), bs(dmap),          # pk
+                  bs(dmap), bs(dmap),          # e
+                  bs(mmap), bs(mmap),          # message
+                  pl.BlockSpec((1, 4, LA, N2), tmap,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 4, n1, N2), tmap,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 4, 8, N2), tmap,
+                               memory_space=pltpu.VMEM)],
+        out_specs=[bs(omap), bs(omap)],
+        scratch_shapes=[pltpu.VMEM((2, n1, N2), jnp.uint32)] * 2,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_enc_fused_kernel(consts.log2t, r, n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((2 * (r - 1), n1, N2),
+                                        jnp.uint32)] * 2,
+        interpret=interpret,
+        **kwargs,
+    )(consts.per_mod, consts.glob, ftab.qconst, xl, xh, yl, yh, el, eh,
+      ml, mh, ftab.tai, ftab.tcir, ftab.tbi)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    return limb32.from_pair((ol, oh)).reshape(2, r - 1, n)
+
+
+# ---------------------------------------------------------------------------
 # shard_map (SPMD) variants: per-shard kernels whose cross-residue inputs /
 # outputs are explicit, so the collectives live in parallel/spmd.py.
 # ---------------------------------------------------------------------------

@@ -689,6 +689,97 @@ def _transform_inv_mul(x64, y64, tables: FourStepTables, interpret: bool):
     return out.reshape(batch_shape + (n,))
 
 
+def _make_kernel_fwd_addneg(n1: int, interpret: bool):
+    """NTT(-(x + e)) in one kernel: keygen's poly_add_negate_xq
+    (bfv_keygen.cuh:81-93) is an elementwise preamble to the forward
+    transform of pk0, so it rides the same VMEM residency —
+    bit-identical to poly.poly_add_negate followed by ntt_forward."""
+    def kernel(qc_ref, xl_ref, xh_ref, el_ref, eh_ref, ta_ref, tc_ref,
+               tb_ref, ol_ref, oh_ref):
+        mi = pl.program_id(0)
+        q = (qc_ref[mi, 0], qc_ref[mi, 1])
+        two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
+        four_q = limb32.add64(two_q, two_q)
+        x = (xl_ref[0], xh_ref[0])
+        e = (el_ref[0], eh_ref[0])
+        # -(x + e) mod q with the 0 fixup (modmath.add_negate_mod)
+        s = limb32.reduce_once(limb32.add64(x, e), q)
+        r = limb32.sub64(q, s)
+        is_q = (r[0] == q[0]) & (r[1] == q[1])
+        zero = jnp.zeros_like(r[0])
+        x = limb32.select64(is_q, (zero, zero), r)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        x = _stage_a_fwd(x, ta_ref.at[0], q, four_q, n1, row, interpret)
+        x = _elementwise_fix(x, tc_ref.at[0], q)
+        x = _stage_b_fwd(x, tb_ref.at[0], q, four_q, lane, interpret)
+        x = _normalize(x, q, two_q)
+        ol_ref[0] = x[0]
+        oh_ref[0] = x[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _transform_fwd_addneg(x64, e64, tables: FourStepTables,
+                          interpret: bool):
+    n, n1 = tables.n, tables.n1
+    LA = (n1.bit_length() - 1) * n1
+    r = tables.qconst.shape[0]
+    batch_shape = x64.shape[:-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    J = B // r
+    xl, xh = limb32.to_pair(x64.reshape(B, n1, N2))
+    el, eh = limb32.to_pair(e64.reshape(B, n1, N2))
+    z = np.int32(0)
+    dmap = lambda m, j, qc: (j * np.int32(r) + m, z, z)
+    tmap = lambda m, j, qc: (m, z, z, z)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r, J),
+        in_specs=[
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, LA, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 8, N2), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+        ],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_kernel_fwd_addneg(n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, n1, N2), jnp.uint32)] * 2,
+        interpret=interpret,
+        **kwargs,
+    )(tables.qconst, xl, xh, el, eh, tables.ta, tables.tc, tables.tb)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    return limb32.from_pair((ol, oh)).reshape(batch_shape + (n,))
+
+
+def ntt_forward_addneg(x, e, tables: FourStepTables,
+                       interpret: bool = False):
+    """NTT(-(x + e) mod q) fused — bit-exact equal to
+    poly.poly_add_negate followed by ntt_forward.  Standard RNS layout
+    (poly b has modulus b % r)."""
+    e = jnp.broadcast_to(e, x.shape)
+    r = tables.qconst.shape[0]
+    batch = x.shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    if B % r != 0:
+        raise ValueError(f"batch {batch} not a multiple of r={r}")
+    return _transform_fwd_addneg(x, e, tables, interpret=interpret)
+
+
 def ntt_inverse_mul(x, y, tables: FourStepTables, interpret: bool = False):
     """INTT(x (.) y) fused — bit-exact equal to
     ntt.ntt_inverse(ntt.dyadic_mul(x, y)).  Standard RNS layout only

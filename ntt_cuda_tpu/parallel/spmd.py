@@ -144,8 +144,8 @@ class SpmdBFVContext:
             e = sampling.gaussian(salsa20.block_words_u32(bw_e, 0, n), ms)
             sk = ntt_pallas.ntt_forward(s, ftab, interpret=interp)
             pk0 = ntt_pallas.ntt_inverse_mul(a, sk, ftab, interpret=interp)
-            pk0 = poly.poly_add_negate(pk0, e, ms)
-            pk0 = ntt_pallas.ntt_forward(pk0, ftab, interpret=interp)
+            pk0 = ntt_pallas.ntt_forward_addneg(pk0, e, ftab,
+                                                interpret=interp)
             return sk, jnp.stack([pk0, a])
 
         fn = shard_map(kg, mesh=self.mesh,

@@ -189,6 +189,8 @@ class Spmd2DBFVContext:
             pk0 = coef_pallas.cross_inv(pk0, pmi, q, qinv, n, C, ci)
             pk0 = poly.poly_add_negate(pk0, e, ms)
             pk0 = coef_pallas.cross_fwd(pk0, pm, q, qinv, n, C, ci)
+            # the cross stages sit between the add-negate and the local
+            # forward, so only the plain forward kernel applies here
             pk0 = ntt_pallas.ntt_forward(pk0, ftab, interpret=interp)
             return sk, jnp.stack([pk0, a])
 

@@ -182,3 +182,17 @@ def test_spmd_api_validation():
     with pytest.raises(ValueError, match="padded"):
         sctx.decrypt(np.zeros((p.r, p.n), np.uint64),
                      np.zeros((2, p.r - 1, p.n), np.uint64))
+
+
+def test_decrypt_golden_vectors_pallas_fused(ctx4k):
+    """The fully fused Pallas decrypt back half (dyadic + INTT + tail in
+    one kernel, bfv_tail.decrypt_fused) is bit-exact on the reference's
+    embedded golden ciphertext."""
+    p = ctx4k.params
+    ctxp = bfv.BFVContext.build(p, backend="pallas-interpret")
+    c0 = np.load(FIX / "dec4k_c0.npy")
+    c1 = np.load(FIX / "dec4k_c1.npy")
+    sk = np.load(FIX / "dec4k_sk_ntt.npy")
+    ct = jnp.asarray(np.stack([c0, c1]))
+    m = np.asarray(ctxp.decrypt(jnp.asarray(sk), ct))
+    np.testing.assert_array_equal(m, np.arange(p.n, dtype=np.uint64) % 10)
