@@ -196,3 +196,42 @@ def test_decrypt_golden_vectors_pallas_fused(ctx4k):
     ct = jnp.asarray(np.stack([c0, c1]))
     m = np.asarray(ctxp.decrypt(jnp.asarray(sk), ct))
     np.testing.assert_array_equal(m, np.arange(p.n, dtype=np.uint64) % 10)
+
+
+def test_pallas_backend_bitexact_8k(rng):
+    """Fused-kernel pipelines vs XLA at a second (n, r) geometry
+    (n=8192, r=4) — covers encrypt_fused / ntt_forward_addneg at
+    non-4k shapes."""
+    p = get_bfv_params("8k_4q")
+    ctx_x = bfv.BFVContext.build(p, backend="xla")
+    ctx_p = bfv.BFVContext.build(p, backend="pallas-interpret")
+    sk_x, pk_x = ctx_x.keygen()
+    sk_p, pk_p = ctx_p.keygen()
+    np.testing.assert_array_equal(np.asarray(sk_p), np.asarray(sk_x))
+    np.testing.assert_array_equal(np.asarray(pk_p), np.asarray(pk_x))
+    m = jnp.asarray(rng.integers(0, p.t, p.n, dtype=np.uint64))
+    ct_x = ctx_x.encrypt(pk_x, m)
+    ct_p = ctx_p.encrypt(pk_p, m)
+    np.testing.assert_array_equal(np.asarray(ct_p), np.asarray(ct_x))
+    out = ctx_p.decrypt(sk_p, ct_p)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(m))
+
+
+def test_forward_addneg_fused_bitexact(rng):
+    """ntt_forward_addneg == poly_add_negate then ntt_forward."""
+    from ntt_cuda_tpu.ops import modmath, ntt_pallas, poly
+    p = get_bfv_params("4k_3q")
+    ftab = ntt_pallas.tables_for(p)
+    ms = modmath.modulus_set(p)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, p.n, dtype=np.uint64) for q in p.q]))
+    e = jnp.asarray(np.stack(
+        [rng.integers(0, q, p.n, dtype=np.uint64) for q in p.q]))
+    # include s == 0 lanes (the negate fixup boundary)
+    x = x.at[:, :4].set(0)
+    e = e.at[:, :4].set(0)
+    ref = np.asarray(ntt_pallas.ntt_forward(
+        poly.poly_add_negate(x, e, ms), ftab, interpret=True))
+    got = np.asarray(ntt_pallas.ntt_forward_addneg(x, e, ftab,
+                                                   interpret=True))
+    np.testing.assert_array_equal(got, ref)
