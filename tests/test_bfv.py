@@ -235,3 +235,22 @@ def test_forward_addneg_fused_bitexact(rng):
     got = np.asarray(ntt_pallas.ntt_forward_addneg(x, e, ftab,
                                                    interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_roundtrip_minimum_r(rng):
+    """r=2 (one kept residue) exercises encrypt_fused's grid-edge: the
+    last-residue step's garbage output slot is the SAME row the only
+    kept residue overwrites."""
+    from ntt_cuda_tpu.utils import primegen
+    p = primegen.make_bfv_params(512, 28, 2)
+    ctx_x = bfv.BFVContext.build(p, backend="xla")
+    ctx_p = bfv.BFVContext.build(p, backend="pallas-interpret")
+    sk, pk = ctx_x.keygen()
+    sk_p, pk_p = ctx_p.keygen()
+    np.testing.assert_array_equal(np.asarray(pk_p), np.asarray(pk))
+    m = jnp.asarray(rng.integers(0, p.t, p.n, dtype=np.uint64))
+    ct_x = ctx_x.encrypt(pk, m)
+    ct_p = ctx_p.encrypt(pk_p, m)
+    np.testing.assert_array_equal(np.asarray(ct_p), np.asarray(ct_x))
+    out = np.asarray(ctx_p.decrypt(sk_p, ct_p))
+    np.testing.assert_array_equal(out, np.asarray(m))
