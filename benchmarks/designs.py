@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ntt_cuda_tpu.ops import limb32, ntt_pallas
 from ntt_cuda_tpu.ops.ntt_pallas import (
     N2, L2, _expand_rows, _lane_partner, _partner_rows, _plane_pack,
-    _roll, _roll_rows, _tab_slice)
+    _tab_slice)
 
 U32 = jnp.uint32
 

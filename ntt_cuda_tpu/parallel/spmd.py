@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import bfv_tail, modmath, ntt_pallas, poly, salsa20, sampling
+from ..ops import bfv_tail, modmath, ntt_pallas, salsa20, sampling
 from ..params import BFVParams
 
 U64 = jnp.uint64
