@@ -42,6 +42,11 @@ BASELINE_TABLE6_US = {
     2048: (12.5, 12.5), 4096: (22.5, 15.5), 8192: (27.0, 18.0),
     16384: (29.0, 21.0), 32768: (39.0, 23.0),
 }
+# V100 Table 6, 30-bit family (the only family published at n=65536)
+BASELINE_TABLE6_30_US = {
+    2048: (7.0, 7.5), 4096: (11.5, 13.0), 8192: (22.5, 14.5),
+    16384: (25.5, 16.3), 32768: (27.7, 18.3), 65536: (39.0, 20.7),
+}
 # V100 Table 7 (us): keygen, encrypt, decrypt per parameter set
 BASELINE_BFV_US = {
     "4k_3q": (123.86, 85.82, 79.46),
@@ -163,16 +168,15 @@ def bench_table6():
     return out
 
 
-def bench_transforms30():
-    """30-bit family (single-limb kernel, ops/ntt_pallas30.py) at n=2^15,
-    16-poly batch of the family modulus."""
+def _bench_one_30bit(n: int):
+    """(ntt_us, intt_us) for the 30-bit family at size n (single-limb
+    kernel, 16-poly batch)."""
     import jax
     import jax.numpy as jnp
     from ntt_cuda_tpu.ops import ntt_pallas30
     from ntt_cuda_tpu.params import get_params
     from ntt_cuda_tpu.utils import profiling
 
-    n = 32768
     q, psi, _, _, _ = get_params(n, family="30bit")
     t30 = ntt_pallas30.FourStepTables30.build([q], [psi], n)
     rng = np.random.default_rng(0)
@@ -190,14 +194,44 @@ def bench_transforms30():
             return jax.lax.fori_loop(0, k, body, y)
         return step
 
-    out = {}
-    for name, inverse in (("ntt30", False), ("intt30", True)):
-        # long chains: at ~3 us/transform the slope must dwarf relay jitter
+    out = []
+    for inverse in (False, True):
+        # long chains: at a few us/transform the slope must dwarf jitter
+        hi = max(256, (1 << 23) // n)
         per = profiling.time_chained_dynamic(
-            make(inverse), xj, inner_lo=64, inner_hi=1024, reps=3, epochs=3)
-        us = per / B * 1e6
-        _log(f"[bench] {name}: {us:.2f} us/transform")
-        out[name] = us
+            make(inverse), xj, inner_lo=hi // 8, inner_hi=hi,
+            reps=3, epochs=3)
+        out.append(per / B * 1e6)
+    return out
+
+
+def bench_transforms30():
+    """30-bit family headline at n=2^15."""
+    ntt_us, intt_us = _bench_one_30bit(32768)
+    _log(f"[bench] ntt30: {ntt_us:.2f} us/transform")
+    _log(f"[bench] intt30: {intt_us:.2f} us/transform")
+    return {"ntt30": ntt_us, "intt30": intt_us}
+
+
+def bench_table6_30bit():
+    """The rest of the 30-bit Table 6 column, incl. n=65536."""
+    out = {}
+    for n, (b_f, b_i) in BASELINE_TABLE6_30_US.items():
+        if n == 32768:
+            continue
+        if _over_budget():
+            _log(f"[bench] over time budget, skipping 30-bit n={n}")
+            continue
+        f_us, i_us = _bench_one_30bit(n)
+        row = {}
+        if f_us > 0:
+            row["ntt_us"] = round(f_us, 2)
+            row["ntt_vs_baseline"] = round(b_f / f_us, 3)
+        if i_us > 0:
+            row["intt_us"] = round(i_us, 2)
+            row["intt_vs_baseline"] = round(b_i / i_us, 3)
+        out[str(n)] = row
+        _log(f"[bench] table6-30bit n={n}: {row}")
     return out
 
 
@@ -294,6 +328,7 @@ def main() -> None:
             "intt30_vs_baseline": round(BASELINE_INTT30_US / t30["intt30"], 3),
         })
     detail["table6_55bit"] = bench_table6()
+    detail["table6_30bit"] = bench_table6_30bit()
     if os.environ.get("BENCH_NTT_ONLY", "") != "1":
         sets = os.environ.get("BENCH_SETS", "")
         # headline 32k sets first: a time-budget cut drops small sets
