@@ -1,18 +1,18 @@
 """Benchmark: the reference's headline metrics on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "detail": ...}
+Prints ONE COMPACT JSON line (the FINAL stdout line — the driver's tail
+capture must never truncate its head, which is what nulled round 2's
+BENCH_r02.json):
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+   "intt_us": ..., "intt_vs_baseline": ...}
 
 value / vs_baseline carry the headline forward-NTT throughput (N=2^15,
-55-bit family, Article.pdf Table 6: 39 us on V100 => 25,641 NTT/s).  The
-"detail" object carries every other published anchor, each with its own
-vs_baseline (>1 = faster than the V100 number):
-
-  * inverse NTT at N=2^15 (Table 6: 23 us), and
-  * BFV keygen / encrypt / decrypt per-op latency for all five Table 7
-    parameter sets (BASELINE.md:37-45).
-
-The same JSON is also written to bench_detail.json.
+55-bit family, Article.pdf Table 6: 39 us on V100 => 25,641 NTT/s).
+Every other published anchor — inverse NTT (Table 6: 23 us), the full
+Table 6 sweeps (55-bit + 30-bit families), and BFV keygen / encrypt /
+decrypt per-op latency for all five Table 7 parameter sets
+(BASELINE.md:37-45), each with its own vs_baseline (>1 = faster than the
+V100 number) — is written ONLY to bench_detail.json.
 
 Methodology (NOTES_NEXT_ROUND.md): the measurement environment dispatches
 through a network relay with O(10 ms) per-dispatch overhead and
@@ -336,18 +336,25 @@ def main() -> None:
                  else ["32k_9q", "32k_16q", "4k_3q", "8k_4q", "16k_5q"])
         detail["bfv_table7"] = bench_bfv(names)
 
-    record = {
+    headline = {
         "metric": "NTT/s/chip @ N=2^15, 55-bit q (fused pallas, "
                   "16-modulus batch)",
         "value": round(ntt_per_sec, 1),
         "unit": "transforms/sec",
         "vs_baseline": round(tf["ntt"] and BASELINE_NTT_US / tf["ntt"], 3),
-        "detail": detail,
+        "ntt_us": round(tf["ntt"], 2),
+        "intt_us": round(tf["intt"], 2),
+        "intt_vs_baseline": round(BASELINE_INTT_US / tf["intt"], 3),
     }
+    record = dict(headline)
+    record["detail"] = detail
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as f:
         json.dump(record, f, indent=1)
-    print(json.dumps(record))
+    # The compact headline is the FINAL stdout line (round 2's full-record
+    # print overflowed the driver's tail capture; detail lives only in
+    # bench_detail.json).
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import params as params_mod
-from ..ops import bfv_tail, modmath, ntt, ntt_pallas, poly, sampling
+from ..ops import bfv_tail, fused_ops, modmath, ntt, ntt_pallas, poly, \
+    sampling
 
 U64 = jnp.uint64
 
@@ -117,23 +118,33 @@ class BFVContext:
     tail_consts: bfv_tail.TailConsts | None
     dec_tail_consts: bfv_tail.DecTailConsts | None
     uniform_spec: str = "int"          # "int" | "fp64" (reference-exact)
+    fusion: str = "op"                 # "op" | "stage" (see build())
 
     @staticmethod
     def build(params: params_mod.BFVParams,
               backend: str | None = None,
-              uniform_spec: str = "int") -> "BFVContext":
+              uniform_spec: str = "int",
+              fusion: str = "op") -> "BFVContext":
         """uniform_spec="fp64" makes keygen's uniform draw follow the
         reference's exact double-precision semantics (bfv_keygen.cuh:33-45,
         emulated bit-for-bit in integer arithmetic — ops/sampling.py
-        uniform_ref), so keygen output is byte-identical to a CUDA run
-        under the fixed key.  The default "int" spec is the documented
-        integer-exact deviation."""
+        uniform_ref).  The default "int" spec is the documented
+        integer-exact deviation.
+
+        fusion selects the pallas kernel schedule (bit-identical results):
+        "op" (default) runs each BFV op's dependent transform batches in
+        ONE kernel with per-modulus twiddle residency (ops/fused_ops.py);
+        "stage" runs the round-2 per-stage kernels (one kernel per
+        transform batch) — kept for A/B measurement."""
         backend = backend or default_backend()
         if uniform_spec not in ("int", "fp64"):
             raise ValueError(f"unknown uniform_spec {uniform_spec!r}")
+        if fusion not in ("op", "stage"):
+            raise ValueError(f"unknown fusion {fusion!r}")
         use_pallas = backend != "xla"
         return BFVContext(
             uniform_spec=uniform_spec,
+            fusion=fusion,
             params=params,
             ms_full=modmath.modulus_set(params),
             ms_drop=modmath.modulus_set(params, params.r - 1),
@@ -158,11 +169,13 @@ class BFVContext:
         """-> (sk (r, n), pk (2, r, n)), both NTT-domain.
 
         `nonce` (int or traced u64) selects the Salsa20 nonce; 0 is the
-        reference's deterministic default."""
+        reference's deterministic default.  Keygen nonces live in the
+        bit-63-clear half of the nonce space (sampling.keygen_nonce) —
+        structurally disjoint from every nonzero encryption nonce."""
         return _keygen_jit(jnp.asarray(nonce, U64), self.ms_full,
                            self.tables_full, self.ftab_full,
                            self.params.n, self.params.r, self.backend,
-                           self.uniform_spec)
+                           self.uniform_spec, self.fusion)
 
     def encrypt(self, pk, m_poly, nonce=0):
         """pk (2, r, n) NTT-domain, m_poly (n,) in [0, t) ->
@@ -170,9 +183,12 @@ class BFVContext:
 
         Pass a distinct `nonce` per message for fresh (u, e0, e1) draws;
         nonce 0 reproduces the reference's fixed-randomness pipeline.
-        NEVER reuse the keygen nonce here: keygen's `s` and encryption's
-        `u` read the same keystream region, so equal nonces make u == s
-        (see ops/sampling.py warning)."""
+        Nonzero encryption nonces are mapped into the bit-63-set half of
+        the nonce space (sampling.encrypt_nonce), so they can never
+        collide with a keygen stream; nonce 0 passes through for
+        reference byte-compatibility (its keygen and encryption share
+        the nonce-0 stream BY DESIGN — never use a nonce-0 pair for real
+        data; see ops/sampling.py)."""
         p = self.params
         pk = check_residues("pk", pk, (2, p.r, p.n),
                             "keygen returns the NTT-domain (2, r, n) pk")
@@ -183,24 +199,74 @@ class BFVContext:
                             self.ms_full, self.ms_drop,
                             self.ms_last, self.tables_full, self.ftab_full,
                             self.dr_consts, self.msg_consts, self.tail_consts,
-                            self.params.n, self.params.r, self.backend)
+                            self.params.n, self.params.r, self.backend,
+                            self.fusion)
+
+    def encrypt_batch(self, pk, m_batch, nonces):
+        """Throughput-mode encryption: J messages per kernel sweep.
+
+        pk (2, r, n) NTT-domain, m_batch (J, n) in [0, t), nonces (J,)
+        distinct per-message nonces -> (J, 2, r-1, n) ciphertexts.  On
+        the pallas backends the whole batch runs as ONE kernel whose
+        grid is modulus-major, so each modulus's twiddle set is fetched
+        once for all J messages (the V100's Table 7 numbers are
+        internally 18-36-transform batches; this is the TPU's own
+        batched economics).  Bit-identical to encrypt() per message."""
+        p = self.params
+        pk = check_residues("pk", pk, (2, p.r, p.n),
+                            "keygen returns the NTT-domain (2, r, n) pk")
+        m_batch = jnp.asarray(m_batch)
+        if m_batch.ndim != 2:
+            raise ValueError(f"m_batch: expected (J, n), got {m_batch.shape}")
+        J = m_batch.shape[0]
+        m_batch = check_residues("m_batch", m_batch, (J, p.n))
+        nonces = jnp.asarray(nonces, U64)
+        if nonces.shape != (J,):
+            raise ValueError(f"nonces: expected shape ({J},), got "
+                             f"{nonces.shape}")
+        return _encrypt_batch_jit(nonces, pk, m_batch, self.ms_full,
+                                  self.ms_drop, self.ms_last,
+                                  self.tables_full, self.ftab_full,
+                                  self.dr_consts, self.msg_consts,
+                                  self.tail_consts, p.n, p.r, J,
+                                  self.backend, self.fusion)
 
     def decrypt(self, sk, ct):
         """sk (r, n) NTT-domain (first r-1 residues used; (r-1, n) also
         accepted), ct (2, r-1, n) -> plaintext (n,) in [0, t)."""
         p = self.params
-        sk = jnp.asarray(sk)
-        if sk.ndim == 2 and sk.shape[0] == p.r:
-            sk = sk[: p.r - 1]
-        sk = check_residues("sk", sk, (p.r - 1, p.n),
-                            "keygen returns the NTT-domain (r, n) sk")
+        sk = self._sk_drop(sk)
         ct = check_residues("ct", ct, (2, p.r - 1, p.n),
                             "encrypt returns (2, r-1, n) — the last RNS "
                             "modulus is dropped")
         return _decrypt_jit(sk, ct, self.ms_drop,
                             self.tables_drop, self.ftab_drop,
                             self.dec_consts, self.dec_tail_consts,
-                            self.backend)
+                            self.backend, self.fusion)
+
+    def decrypt_batch(self, sk, cts):
+        """Throughput-mode decryption: cts (J, 2, r-1, n) -> (J, n).
+        One modulus-major kernel sweep over all J messages on the pallas
+        backends; bit-identical to decrypt() per message."""
+        p = self.params
+        sk = self._sk_drop(sk)
+        cts = jnp.asarray(cts)
+        if cts.ndim != 4:
+            raise ValueError(f"cts: expected (J, 2, r-1, n), got {cts.shape}")
+        J = cts.shape[0]
+        cts = check_residues("cts", cts, (J, 2, p.r - 1, p.n))
+        return _decrypt_batch_jit(sk, cts, self.ms_drop, self.tables_drop,
+                                  self.ftab_drop, self.dec_consts,
+                                  self.dec_tail_consts, self.backend,
+                                  self.fusion)
+
+    def _sk_drop(self, sk):
+        p = self.params
+        sk = jnp.asarray(sk)
+        if sk.ndim == 2 and sk.shape[0] == p.r:
+            sk = sk[: p.r - 1]
+        return check_residues("sk", sk, (p.r - 1, p.n),
+                              "keygen returns the NTT-domain (r, n) sk")
 
     def roundtrip_check(self, m_poly):
         """demo.cu-style end-to-end: decrypt(encrypt(m)) (demo.cu:274-311)."""
@@ -214,23 +280,29 @@ class BFVContext:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "r", "backend", "uniform_spec"))
+                   static_argnames=("n", "r", "backend", "uniform_spec",
+                                    "fusion"))
 def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str,
-                uniform_spec: str = "int"):
+                uniform_spec: str = "int", fusion: str = "op"):
     """keygen_rns (bfv_keygen.cuh:95-151)."""
     s, a, e = sampling.keygen_draws(
         n, r, ms, nonce=nonce, uniform_spec=uniform_spec,
         ks_impl="pallas" if backend == "pallas" else "xla")
+    if backend != "xla" and fusion == "op":
+        # whole post-draw pipeline in one twiddle-resident kernel
+        sk, pk0 = fused_ops.keygen_fused(
+            s, a, e, ftab, interpret=(backend == "pallas-interpret"))
+        return sk, jnp.stack([pk0, a])
     sk = _fwd(s, tables, ftab, ms, backend)             # s kept in NTT domain
     pk0 = _inv_mul(a, sk, tables, ftab, ms, backend)    # INTT(a (.) s-hat)
     pk0 = _fwd_addneg(pk0, e, tables, ftab, ms, backend)   # NTT(-(a*s + e))
     return sk, jnp.stack([pk0, a])
 
 
-@functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
+@functools.partial(jax.jit, static_argnames=("n", "r", "backend", "fusion"))
 def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
                  dr_consts, msg_consts, tail_consts, n: int, r: int,
-                 backend: str):
+                 backend: str, fusion: str = "op"):
     """encryption_rns (bfv_encryption.cuh:223-290).
 
     The reference transforms both ciphertext halves (2r forwards,
@@ -238,11 +310,16 @@ def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
     in-place buffers force the duplicate.  Here NTT(u) is computed once
     (r forwards) and broadcast into the dyadic against both pk halves:
     identical values, 25% fewer transforms per encryption."""
+    interp = backend == "pallas-interpret"
     u, e0, e1 = sampling.encrypt_draws(
         n, r, ms_full, nonce=nonce,
         ks_impl="pallas" if backend == "pallas" else "xla")
-    u_ntt = _fwd(u, tables, ftab, ms_full, backend)     # (r, n), once
     e = jnp.stack([e0, e1])
+    if backend != "xla" and fusion == "op":
+        # the ENTIRE op after the draws is one twiddle-resident kernel
+        return fused_ops.encrypt_fused(u, pk, e, m_poly.astype(U64),
+                                       ftab, tail_consts, interpret=interp)
+    u_ntt = _fwd(u, tables, ftab, ms_full, backend)     # (r, n), once
     if backend == "xla":
         c = jnp.broadcast_to(u_ntt, (2, r, n))
         c = _inv_mul(c, pk, tables, ftab, ms_full, backend)
@@ -250,27 +327,96 @@ def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
         c = poly.divide_and_round_q_last(c, dr_consts, ms_drop, ms_last)
         c0 = poly.add_message(c[0], m_poly, msg_consts)
         return jnp.stack([c0, c[1]])
-    # everything after NTT(u) runs in ONE kernel
+    # round-2 "stage" schedule: everything after NTT(u) in one kernel
+    return bfv_tail.encrypt_fused(u_ntt, pk, e, m_poly.astype(U64),
+                                  ftab, tail_consts, interpret=interp)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "r", "J", "backend", "fusion"))
+def _encrypt_batch_jit(nonces, pk, m_batch, ms_full, ms_drop, ms_last,
+                       tables, ftab, dr_consts, msg_consts, tail_consts,
+                       n: int, r: int, J: int, backend: str,
+                       fusion: str = "op"):
+    """J-message encryption; draws are J keystream sweeps (one per nonce,
+    counter-mode Salsa20 has no cross-message batch shape), the compute
+    is one J-batched kernel sweep on the pallas backends."""
+    ks = "pallas" if backend == "pallas" else "xla"
+    draws = [sampling.encrypt_draws(n, r, ms_full, nonce=nonces[j],
+                                    ks_impl=ks)
+             for j in range(J)]
+    u = jnp.stack([d[0] for d in draws])                   # (J, r, n)
+    e = jnp.stack([jnp.stack([d[1], d[2]]) for d in draws])  # (J, 2, r, n)
+    if backend != "xla" and fusion == "op":
+        return fused_ops.encrypt_fused(u, pk, e, m_batch.astype(U64),
+                                       ftab, tail_consts,
+                                       interpret=(backend ==
+                                                  "pallas-interpret"))
+    outs = [_encrypt_one_drawn(u[j], e[j], pk, m_batch[j], ms_full, ms_drop,
+                               ms_last, tables, ftab, dr_consts, msg_consts,
+                               tail_consts, n, r, backend)
+            for j in range(J)]
+    return jnp.stack(outs)
+
+
+def _encrypt_one_drawn(u, e, pk, m_poly, ms_full, ms_drop, ms_last, tables,
+                       ftab, dr_consts, msg_consts, tail_consts, n, r,
+                       backend):
+    u_ntt = _fwd(u, tables, ftab, ms_full, backend)
+    if backend == "xla":
+        c = jnp.broadcast_to(u_ntt, (2, r, n))
+        c = _inv_mul(c, pk, tables, ftab, ms_full, backend)
+        c = poly.poly_add(c, e, ms_full)
+        c = poly.divide_and_round_q_last(c, dr_consts, ms_drop, ms_last)
+        c0 = poly.add_message(c[0], m_poly, msg_consts)
+        return jnp.stack([c0, c[1]])
     return bfv_tail.encrypt_fused(u_ntt, pk, e, m_poly.astype(U64),
                                   ftab, tail_consts,
                                   interpret=(backend == "pallas-interpret"))
 
 
-@functools.partial(jax.jit, static_argnames=("backend",))
+@functools.partial(jax.jit, static_argnames=("backend", "fusion"))
 def _decrypt_jit(sk_drop, ct, ms, tables, ftab, dec_consts, dec_tail_consts,
-                 backend: str):
+                 backend: str, fusion: str = "op"):
     """decryption_rns (bfv_decryption.cuh:76-138)."""
-    x = _fwd(ct[1], tables, ftab, ms, backend)
-    x = _inv_mul(x, sk_drop, tables, ftab, ms, backend)
+    interp = backend == "pallas-interpret"
     if backend == "xla":
+        x = _fwd(ct[1], tables, ftab, ms, backend)
+        x = _inv_mul(x, sk_drop, tables, ftab, ms, backend)
         x = poly.poly_add(x, ct[0], ms)                 # poly_add_xq_d `>` quirk
         x = poly.poly_mul_scalar_mont(x, dec_consts.prod_t_gamma_mont, ms)
         x = poly.poly_mul_scalar_mont(x, dec_consts.inv_punctured_mont, ms)
         return poly.fast_convert_and_round(x, dec_consts)
+    if fusion == "op":
+        # front half = one kernel (the reference's half_poly_mul_device)
+        x = fused_ops.half_polymul(ct[1], sk_drop, ftab, interpret=interp)
+    else:
+        x = _fwd(ct[1], tables, ftab, ms, backend)
+        x = _inv_mul(x, sk_drop, tables, ftab, ms, backend)
     # NOTE: a fully fused back half exists (bfv_tail.decrypt_fused,
-    # bit-exact, golden-tested) but measured ~15% SLOWER than this
-    # two-kernel pipeline on v5e (251 vs 218 us at 32k_9q — the fused
+    # bit-exact, golden-tested) but measured ~15% SLOWER than the
+    # kernel-pipeline on v5e (251 vs 218 us at 32k_9q — the fused
     # grid's larger per-step working set defeats Mosaic's pipelining),
-    # so the pipeline stays.
+    # so the tail stays its own kernel.
     return bfv_tail.decrypt_tail(x, ct[0], dec_tail_consts,
-                                 interpret=(backend == "pallas-interpret"))
+                                 interpret=interp)
+
+
+@functools.partial(jax.jit, static_argnames=("backend", "fusion"))
+def _decrypt_batch_jit(sk_drop, cts, ms, tables, ftab, dec_consts,
+                       dec_tail_consts, backend: str, fusion: str = "op"):
+    """J-message decryption: (J, 2, r-1, n) -> (J, n)."""
+    interp = backend == "pallas-interpret"
+    if backend != "xla":
+        if fusion == "op":
+            x = fused_ops.half_polymul(cts[:, 1], sk_drop, ftab,
+                                       interpret=interp)
+        else:
+            x = _fwd(cts[:, 1], tables, ftab, ms, backend)
+            x = _inv_mul(x, sk_drop, tables, ftab, ms, backend)
+        return bfv_tail.decrypt_tail(x, cts[:, 0], dec_tail_consts,
+                                     interpret=interp)
+    outs = [_decrypt_jit(sk_drop, cts[j], ms, tables, ftab, dec_consts,
+                         dec_tail_consts, backend, fusion)
+            for j in range(cts.shape[0])]
+    return jnp.stack(outs)

@@ -230,10 +230,11 @@ def _make_dec_kernel(log2t: int, neg_t: int, rk: int, interpret: bool):
     gamma across the residue grid in VMEM scratch; final step applies
     neg_inv_q scaling and dec_round.  Bit-identical to the ops/poly.py
     chain (the accumulation order equals its python loop order because the
-    TPU grid runs sequentially)."""
+    TPU grid runs sequentially).  Grid (J, rk): message-major, residues
+    fastest, so the scratch accumulators reset at each message's mi=0."""
     def kernel(pm_ref, gl_ref, xl_ref, xh_ref, cl_ref, ch_ref,
                out_ref, xt_ref, xgl_ref, xgh_ref):
-        mi = pl.program_id(0)
+        mi = pl.program_id(1)
         q = (pm_ref[mi, 0], pm_ref[mi, 1])
         qinv = (pm_ref[mi, 2], pm_ref[mi, 3])
         ptg = (pm_ref[mi, 4], pm_ref[mi, 5])
@@ -287,19 +288,24 @@ def _make_dec_kernel(log2t: int, neg_t: int, rk: int, interpret: bool):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decrypt_tail(x, ct0, consts: DecTailConsts, interpret: bool = False):
     """(r-1, n) x = INTT(NTT(c1) (.) sk), (r-1, n) c0 -> (n,) plaintext.
-    Bit-identical to poly_add + scalar muls + fast_convert_and_round."""
-    rk, n = x.shape
+    Bit-identical to poly_add + scalar muls + fast_convert_and_round.
+    A leading J batch dim on both operands decrypts J messages in one
+    kernel ((J, r-1, n) -> (J, n))."""
+    single = x.ndim == 2
+    if single:
+        x, ct0 = x[None], ct0[None]
+    J, rk, n = x.shape
     n1 = n // N2
-    xl, xh = limb32.to_pair(x.reshape(rk, n1, N2))
-    cl, ch = limb32.to_pair(ct0.reshape(rk, n1, N2))
+    xl, xh = limb32.to_pair(x.reshape(J * rk, n1, N2))
+    cl, ch = limb32.to_pair(ct0.reshape(J * rk, n1, N2))
 
     z = np.int32(0)
-    dmap = lambda mi, pm, gl: (mi, z, z)
-    omap = lambda mi, pm, gl: (z, z, z)
+    dmap = lambda j, mi, pm, gl: (j * np.int32(rk) + mi, z, z)
+    omap = lambda j, mi, pm, gl: (j, z, z)
     bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(rk,),
+        grid=(J, rk),
         in_specs=[bs(dmap), bs(dmap), bs(dmap), bs(dmap)],
         out_specs=[bs(omap)],
         scratch_shapes=[pltpu.VMEM((n1, N2), jnp.uint32)] * 3,
@@ -311,13 +317,14 @@ def decrypt_tail(x, ct0, consts: DecTailConsts, interpret: bool = False):
     out = pl.pallas_call(
         _make_dec_kernel(consts.log2t, consts.neg_t, rk, interpret),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((1, n1, N2), jnp.uint32)],
+        out_shape=[jax.ShapeDtypeStruct((J, n1, N2), jnp.uint32)],
         interpret=interpret,
         **kwargs,
     )(consts.per_mod, consts.glob, xl, xh, cl, ch)[0]
     if interpret:
         out = jax.lax.optimization_barrier(out)
-    return out.reshape(n).astype(jnp.uint64)
+    out = out.reshape(J, n).astype(jnp.uint64)
+    return out[0] if single else out
 
 
 # ---------------------------------------------------------------------------

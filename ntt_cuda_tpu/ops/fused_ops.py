@@ -1,0 +1,404 @@
+"""Whole-BFV-op fused Pallas kernels: one twiddle fetch per modulus.
+
+Round-2 profiling showed each BFV op running its dependent r-poly
+transform batches as separate kernels at J=1 — every kernel re-fetching
+the ~9 MB/modulus twiddle set and round-tripping its intermediate through
+HBM (NOTES_NEXT_ROUND.md item 4).  These kernels restructure each op so
+that ALL transforms touching one modulus run inside one grid step, with
+the twiddle block resident:
+
+* ``keygen_fused`` — the whole keygen pipeline after the draws
+  (bfv_keygen.cuh:120-145): per modulus grid step, sk = NTT(s);
+  pk0 = NTT(-(INTT(a (.) sk) + e)).  Three chained transforms per step,
+  one fetch of the forward+inverse table set, no HBM round trip for sk
+  or the INTT intermediate.
+* ``half_polymul`` — INTT(NTT(x) (.) y) for NTT-domain y, the
+  reference's half_poly_mul_device (poly_arithmetic.cuh:296-310) and
+  decrypt's front half (bfv_decryption.cuh:98-101): forward + dyadic +
+  inverse per grid step, J-batched over messages with the modulus-major
+  grid so tables load once per modulus.
+* ``encrypt_fused`` — the whole encryption after the draws
+  (bfv_encryption.cuh:247-290): per (modulus, message, half) grid step,
+  u_ntt = NTT(u) is computed once per (modulus, message) into VMEM
+  scratch (the reference transforms 2r polys for the same u,
+  bfv_encryption.cuh:268); then c_h = INTT(u_ntt (.) pk_h) + e_h, the
+  modulus drop, and Delta*m + fix — one kernel for the entire op,
+  J-batched.  Outputs are split per ciphertext half with an
+  m-independent index map so the last-residue steps park on the block
+  the next step overwrites in VMEM (the round-2 kernel flushed a
+  garbage block to HBM and re-fetched it, VERDICT.md weak #8).
+
+All kernels are bit-identical to the unfused pipelines (tested in
+tests/test_fused_ops.py) — same lazy-Shoup stage math (ops/ntt_pallas),
+same strict-`>` quirks (ops/bfv_tail).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import limb32
+from . import ntt_pallas as ntp
+from .bfv_tail import TailConsts, _mod_u64
+
+U32 = jnp.uint32
+N2 = 128
+
+
+def _qvals(qc_ref, mi):
+    q = (qc_ref[mi, 0], qc_ref[mi, 1])
+    two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
+    four_q = limb32.add64(two_q, two_q)
+    qinv = (qc_ref[mi, 6], qc_ref[mi, 7])
+    return q, two_q, four_q, qinv
+
+
+def _fwd_chain(x, ta_ref, tc_ref, tb_ref, q, two_q, four_q, n1, row, lane,
+               interpret):
+    x = ntp._stage_a_fwd(x, ta_ref.at[0], q, four_q, n1, row, interpret)
+    x = ntp._elementwise_fix(x, tc_ref.at[0], q)
+    x = ntp._stage_b_fwd(x, tb_ref.at[0], q, four_q, lane, interpret)
+    return ntp._normalize(x, q, two_q)
+
+
+def _inv_mul_chain(x, y, tai_ref, tcir_ref, tbi_ref, q, two_q, four_q, qinv,
+                   n1, row, lane, interpret):
+    """INTT(x (.) y): Montgomery dyadic + inverse chain (tcir carries the
+    2^64 skew correction and n^-1) — cf. ntt_pallas._make_kernel_inv_mul."""
+    x = limb32.mont_mul_lazy(x, y, q, qinv)
+    x = ntp._stage_b_inv(x, tbi_ref.at[0], q, four_q, lane, interpret)
+    x = ntp._elementwise_fix(x, tcir_ref.at[0], q)
+    x = ntp._stage_a_inv(x, tai_ref.at[0], q, four_q, n1, row, interpret)
+    return ntp._normalize(x, q, two_q)
+
+
+def _add_negate(x, e, q):
+    """-(x + e) mod q with the 0 fixup (modmath.add_negate_mod)."""
+    s = limb32.reduce_once(limb32.add64(x, e), q)
+    r = limb32.sub64(q, s)
+    is_q = (r[0] == q[0]) & (r[1] == q[1])
+    zero = jnp.zeros_like(r[0])
+    return limb32.select64(is_q, (zero, zero), r)
+
+
+# ---------------------------------------------------------------------------
+# keygen_fused
+# ---------------------------------------------------------------------------
+
+def _make_keygen_kernel(n1: int, interpret: bool):
+    def kernel(qc_ref, sl_ref, sh_ref, al_ref, ah_ref, el_ref, eh_ref,
+               ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
+               skl_ref, skh_ref, p0l_ref, p0h_ref):
+        mi = pl.program_id(0)
+        q, two_q, four_q, qinv = _qvals(qc_ref, mi)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        # sk = NTT(s), kept in the NTT domain (bfv_keygen.cuh:129)
+        sk = _fwd_chain((sl_ref[0], sh_ref[0]), ta_ref, tc_ref, tb_ref,
+                        q, two_q, four_q, n1, row, lane, interpret)
+        skl_ref[0] = sk[0]
+        skh_ref[0] = sk[1]
+        # INTT(a (.) sk) (bfv_keygen.cuh:132-133)
+        x = _inv_mul_chain((al_ref[0], ah_ref[0]), sk, tai_ref, tcir_ref,
+                           tbi_ref, q, two_q, four_q, qinv, n1, row, lane,
+                           interpret)
+        # pk0 = NTT(-(a*s + e)) (bfv_keygen.cuh:144-145)
+        x = _add_negate(x, (el_ref[0], eh_ref[0]), q)
+        pk0 = _fwd_chain(x, ta_ref, tc_ref, tb_ref, q, two_q, four_q, n1,
+                         row, lane, interpret)
+        p0l_ref[0] = pk0[0]
+        p0h_ref[0] = pk0[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def keygen_fused(s, a, e, ftab, interpret: bool = False):
+    """(r, n) coefficient-domain s, NTT-domain a, coefficient-domain e ->
+    (sk, pk0), both (r, n) NTT-domain.  Bit-identical to
+    ntt_forward(s), ntt_inverse_mul(a, sk), ntt_forward_addneg(., e)."""
+    r, n = s.shape
+    n1 = n // N2
+    LA = (n1.bit_length() - 1) * n1
+    sl, sh = limb32.to_pair(s.reshape(r, n1, N2))
+    al, ah = limb32.to_pair(a.reshape(r, n1, N2))
+    el, eh = limb32.to_pair(e.reshape(r, n1, N2))
+
+    z = np.int32(0)
+    dmap = lambda m, qc: (m, z, z)
+    tmap = lambda m, qc: (m, z, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    ts = lambda rows, im: pl.BlockSpec((1, 4, rows, N2), im,
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,   # qconst
+        grid=(r,),
+        in_specs=[bs(dmap), bs(dmap),          # s
+                  bs(dmap), bs(dmap),          # a
+                  bs(dmap), bs(dmap),          # e
+                  ts(LA, tmap), ts(n1, tmap), ts(8, tmap),     # fwd tables
+                  ts(LA, tmap), ts(n1, tmap), ts(8, tmap)],    # inv tables
+        out_specs=[bs(dmap), bs(dmap),         # sk
+                   bs(dmap), bs(dmap)],        # pk0
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    skl, skh, p0l, p0h = pl.pallas_call(
+        _make_keygen_kernel(n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((r, n1, N2), jnp.uint32)] * 4,
+        interpret=interpret,
+        **kwargs,
+    )(ftab.qconst, sl, sh, al, ah, el, eh,
+      ftab.ta, ftab.tc, ftab.tb, ftab.tai, ftab.tcir, ftab.tbi)
+    if interpret:
+        skl, skh, p0l, p0h = jax.lax.optimization_barrier(
+            (skl, skh, p0l, p0h))
+    sk = limb32.from_pair((skl, skh)).reshape(r, n)
+    pk0 = limb32.from_pair((p0l, p0h)).reshape(r, n)
+    return sk, pk0
+
+
+# ---------------------------------------------------------------------------
+# half_polymul
+# ---------------------------------------------------------------------------
+
+def _make_halfmul_kernel(n1: int, interpret: bool):
+    def kernel(qc_ref, xl_ref, xh_ref, yl_ref, yh_ref,
+               ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
+               ol_ref, oh_ref):
+        mi = pl.program_id(0)
+        q, two_q, four_q, qinv = _qvals(qc_ref, mi)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        x = _fwd_chain((xl_ref[0], xh_ref[0]), ta_ref, tc_ref, tb_ref,
+                       q, two_q, four_q, n1, row, lane, interpret)
+        x = _inv_mul_chain(x, (yl_ref[0], yh_ref[0]), tai_ref, tcir_ref,
+                           tbi_ref, q, two_q, four_q, qinv, n1, row, lane,
+                           interpret)
+        ol_ref[0] = x[0]
+        oh_ref[0] = x[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def half_polymul(x, y_ntt, ftab, interpret: bool = False):
+    """INTT(NTT(x) (.) y_ntt) in one kernel — the reference's
+    half_poly_mul_device (poly_arithmetic.cuh:296-310).  x (..., r, n)
+    coefficient-domain (standard RNS layout, poly b has modulus b % r);
+    y_ntt broadcasts against x's batch dims.  Tables load once per
+    modulus across the whole batch."""
+    y_ntt = jnp.broadcast_to(y_ntt, x.shape)
+    n, n1 = ftab.n, ftab.n1
+    LA = (n1.bit_length() - 1) * n1
+    r = ftab.qconst.shape[0]
+    batch_shape = x.shape[:-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    if B % r != 0:
+        raise ValueError(f"batch {batch_shape} not a multiple of r={r}")
+    J = B // r
+    xl, xh = limb32.to_pair(x.reshape(B, n1, N2))
+    yl, yh = limb32.to_pair(y_ntt.reshape(B, n1, N2))
+
+    z = np.int32(0)
+    dmap = lambda m, j, qc: (j * np.int32(r) + m, z, z)
+    tmap = lambda m, j, qc: (m, z, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    ts = lambda rows, im: pl.BlockSpec((1, 4, rows, N2), im,
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r, J),
+        in_specs=[bs(dmap), bs(dmap),
+                  bs(dmap), bs(dmap),
+                  ts(LA, tmap), ts(n1, tmap), ts(8, tmap),
+                  ts(LA, tmap), ts(n1, tmap), ts(8, tmap)],
+        out_specs=[bs(dmap), bs(dmap)],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_halfmul_kernel(n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, n1, N2), jnp.uint32)] * 2,
+        interpret=interpret,
+        **kwargs,
+    )(ftab.qconst, xl, xh, yl, yh,
+      ftab.ta, ftab.tc, ftab.tb, ftab.tai, ftab.tcir, ftab.tbi)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    return limb32.from_pair((ol, oh)).reshape(batch_shape + (n,))
+
+
+# ---------------------------------------------------------------------------
+# encrypt_fused (whole op, J-batched)
+# ---------------------------------------------------------------------------
+
+def _make_enc_kernel(log2t: int, r: int, n1: int, interpret: bool):
+    """Grid (r, J, 2): m_step 0 is the LAST residue (both message/half
+    pairs first — its adjusted residue ra lives in VMEM scratch for the
+    kept-residue steps), m_step >= 1 is kept residue m_step-1.  u_ntt is
+    computed at h == 0 and reused from scratch at h == 1."""
+    rr = np.int32(r)
+
+    def kernel(pm_ref, gl_ref, qc_ref, ul_ref, uh_ref, pkl_ref, pkh_ref,
+               el_ref, eh_ref, ml_ref, mh_ref,
+               ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
+               o0l_ref, o0h_ref, o1l_ref, o1h_ref,
+               un_l, un_h, ra_l, ra_h):
+        m_step = pl.program_id(0)
+        j = pl.program_id(1)
+        h = pl.program_id(2)
+        mi = jnp.where(m_step == 0, rr - 1, m_step - 1)
+        qq, two_q, four_q, qinv = _qvals(qc_ref, mi)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+
+        # u_ntt once per (modulus, message) — the reference's 2r-forward
+        # batch transforms the same u twice (bfv_encryption.cuh:268)
+        @pl.when(h == 0)
+        def _fwd_u():
+            x = _fwd_chain((ul_ref[0], uh_ref[0]), ta_ref, tc_ref, tb_ref,
+                           qq, two_q, four_q, n1, row, lane, interpret)
+            un_l[...] = x[0]
+            un_h[...] = x[1]
+
+        # c_h = INTT(u_ntt (.) pk_h)
+        x = _inv_mul_chain((un_l[...], un_h[...]), (pkl_ref[0], pkh_ref[0]),
+                           tai_ref, tcir_ref, tbi_ref, qq, two_q, four_q,
+                           qinv, n1, row, lane, interpret)
+        # c += e (strict `>` quirk, poly_add_xq)
+        s = limb32.add64(x, (el_ref[0], eh_ref[0]))
+        s = limb32.cond_sub64(s, qq, limb32.gt64(s, qq))
+
+        q_last = (gl_ref[0], gl_ref[1])
+        half = (gl_ref[2], gl_ref[3])
+
+        @pl.when(m_step == 0)
+        def _last():
+            # adjusted last residue -> scratch (divide_and_round's
+            # `last += q_last/2` broadcast operand)
+            ra = limb32.add64(s, half)
+            ra = limb32.reduce_once(ra, q_last)
+            ra_l[j, h] = ra[0]
+            ra_h[j, h] = ra[1]
+
+        @pl.when(m_step > 0)
+        def _kept():
+            ki = m_step - 1
+            q = (pm_ref[ki, 0], pm_ref[ki, 1])
+            qinv_k = (pm_ref[ki, 2], pm_ref[ki, 3])
+            nu = (pm_ref[ki, 4], pm_ref[ki, 5])
+            half_mod = (pm_ref[ki, 6], pm_ref[ki, 7])
+            invq_mont = (pm_ref[ki, 8], pm_ref[ki, 9])
+            qi_div_t = (pm_ref[ki, 10], pm_ref[ki, 11])
+            ra = (ra_l[j, h], ra_h[j, h])
+            zero = (jnp.zeros_like(q[0]), jnp.zeros_like(q[1]))
+            tmp = _mod_u64(ra, q, nu)
+            tmp = limb32.add64(tmp, limb32.select64(
+                limb32.lt64(tmp, half_mod), q, zero))
+            tmp = limb32.sub64(tmp, half_mod)
+            v = limb32.add64(s, limb32.select64(limb32.lt64(s, tmp), q,
+                                                zero))
+            v = limb32.sub64(v, tmp)
+            out = limb32.mont_mul_lazy(v, invq_mont, q, qinv_k)
+            out = limb32.reduce_once(out, q)
+
+            @pl.when(h == 0)
+            def _c0():
+                # weird_m_stuff on half 0 only (bfv_encryption.cuh:193-213)
+                mw = (ml_ref[0], mh_ref[0])
+                fix = ((mw[0] + U32(1 << (log2t - 1))) >> U32(log2t),
+                       jnp.zeros_like(mw[1]))
+                dm = limb32.mullo64(mw, qi_div_t)
+                withm = limb32.add64(limb32.add64(out, dm), fix)
+                withm = _mod_u64(withm, q, nu)
+                o0l_ref[0] = withm[0]
+                o0h_ref[0] = withm[1]
+
+            @pl.when(h == 1)
+            def _c1():
+                o1l_ref[0] = out[0]
+                o1h_ref[0] = out[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encrypt_fused(u, pk, e, m_poly, ftab, consts: TailConsts,
+                  interpret: bool = False):
+    """The whole encryption after the draws, J-batched, in ONE kernel.
+
+    u (J, r, n) coefficient-domain ternary draws, pk (2, r, n) NTT-domain,
+    e (J, 2, r, n) errors, m_poly (J, n) messages -> (J, 2, r-1, n)
+    ciphertexts.  Bit-identical to [per message] ntt_forward(u),
+    ntt_inverse_mul(broadcast, pk), encrypt_tail.  Leading J dims may be
+    omitted for a single message."""
+    single = u.ndim == 2
+    if single:
+        u, e, m_poly = u[None], e[None], m_poly[None]
+    J, r, n = u.shape
+    n1 = n // N2
+    LA = (n1.bit_length() - 1) * n1
+    ul, uh = limb32.to_pair(u.reshape(J * r, n1, N2))
+    pkl, pkh = limb32.to_pair(pk.reshape(2 * r, n1, N2))
+    el, eh = limb32.to_pair(e.reshape(J * 2 * r, n1, N2))
+    ml, mh = limb32.to_pair(m_poly.reshape(J, n1, N2))
+
+    z = np.int32(0)
+    rr = np.int32(r)
+    rk = np.int32(r - 1)
+    res = lambda m: jnp.where(m == 0, rr - 1, m - 1)
+    umap = lambda m, j, h, pm, gl, qc: (j * rr + res(m), z, z)
+    pmap = lambda m, j, h, pm, gl, qc: (h * rr + res(m), z, z)
+    emap = lambda m, j, h, pm, gl, qc: ((j * 2 + h) * rr + res(m), z, z)
+    mmap = lambda m, j, h, pm, gl, qc: (j, z, z)
+    # m-independent parking: the m=0 steps keep index 0 resident, which
+    # the m=1 write then overwrites in VMEM (no garbage flush to HBM)
+    omap = lambda m, j, h, pm, gl, qc: (
+        jnp.where(m == 0, 0, j * rk + m - 1), z, z)
+    tmap = lambda m, j, h, pm, gl, qc: (res(m), z, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    ts = lambda rows, im: pl.BlockSpec((1, 4, rows, N2), im,
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # per_mod (r-1 rows), glob, qconst
+        grid=(r, J, 2),
+        in_specs=[bs(umap), bs(umap),
+                  bs(pmap), bs(pmap),
+                  bs(emap), bs(emap),
+                  bs(mmap), bs(mmap),
+                  ts(LA, tmap), ts(n1, tmap), ts(8, tmap),
+                  ts(LA, tmap), ts(n1, tmap), ts(8, tmap)],
+        out_specs=[bs(omap), bs(omap), bs(omap), bs(omap)],
+        scratch_shapes=[pltpu.VMEM((n1, N2), jnp.uint32)] * 2
+        + [pltpu.VMEM((J, 2, n1, N2), jnp.uint32)] * 2,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    o0l, o0h, o1l, o1h = pl.pallas_call(
+        _make_enc_kernel(consts.log2t, r, n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((J * (r - 1), n1, N2),
+                                        jnp.uint32)] * 4,
+        interpret=interpret,
+        **kwargs,
+    )(consts.per_mod, consts.glob, ftab.qconst, ul, uh, pkl, pkh, el, eh,
+      ml, mh, ftab.ta, ftab.tc, ftab.tb, ftab.tai, ftab.tcir, ftab.tbi)
+    if interpret:
+        o0l, o0h, o1l, o1h = jax.lax.optimization_barrier(
+            (o0l, o0h, o1l, o1h))
+    c0 = limb32.from_pair((o0l, o0h)).reshape(J, r - 1, n)
+    c1 = limb32.from_pair((o1l, o1h)).reshape(J, r - 1, n)
+    ct = jnp.stack([c0, c1], axis=1)       # (J, 2, r-1, n)
+    return ct[0] if single else ct

@@ -15,33 +15,54 @@ Spec deviations from the reference (documented, deliberate):
   IEEE-exact, so we define the uniform draw as the *integer-exact*
   `floor(u * (q-1) / 2^64)` — one mulhi.  Distributionally at least as
   uniform; deterministic across all backends.  `utils/golden.py`
-  provides both specs.  For byte-identical keygen vs a CUDA run, the
-  fp64 semantics are ALSO implemented exactly (in integer arithmetic) as
-  `uniform_ref` — opt in via BFVContext.build(..., uniform_spec="fp64").
+  provides both specs.  The fp64 semantics are ALSO implemented exactly
+  (in integer arithmetic) as `uniform_ref` — opt in via
+  BFVContext.build(..., uniform_spec="fp64"); with it the uniform draw
+  is byte-identical to a CUDA run (the Gaussian bullet below quantifies
+  the one remaining, bounded deviation source for keygen as a whole).
 
 * **Gaussian**: the reference uses CUDA's `normcdfinvf` (an fp32 vendor
-  intrinsic with unpublished bit behavior).  We use
-  `jax.scipy.special.ndtri` evaluated in f32.  Samples can differ from
-  CUDA by +-1 only when |3.2 * z| lands within one ulp of an integer
-  (~1e-7 of draws); the BFV pipeline is agnostic to this (any valid error
-  sample decrypts).  sigma = 3.2, clamp +-19.2 (salsa_common.h:31,
-  distributions.cuh:172-182) preserved exactly.
+  intrinsic with unpublished bit behavior), so bit-identity with a CUDA
+  run is unprovable for this draw.  Instead the converter implements a
+  PINNED integer spec: the whole u32 -> {-19..16} map (u32 -> f32,
+  /2^32, inverse normal CDF, * 3.2, clamp +-19.2, truncate) is a
+  monotone step function, so it is defined EXACTLY by the 38 frozen u32
+  thresholds in ``GAUSS_ICDF_BOUNDS`` (derived from the true
+  double-precision Phi, with the reference's u32->f32 RNE quantization
+  — including the f32(u) == 2^32 tie at u >= 2^32-128 — emulated
+  exactly; regenerate with ``gen_gauss_icdf_bounds``).  The device
+  converter is 38 integer compares: bit-deterministic on every backend,
+  no transcendentals in the hot path.  A CUDA run can differ only for
+  u32s adjacent to a threshold where normcdfinvf's few-ulp error flips
+  the truncation: measured against an independent f32 ndtri pipeline
+  the disagreement is 720 u32 values of the whole 2^32 space (1.7e-7
+  per draw; every one +-1, every one within 4096 of a threshold —
+  tests/test_sampling.py::test_gaussian_pinned_vs_f32_pipeline), i.e.
+  a 32k keygen (n = 32768 Gaussian draws, broadcast across moduli)
+  matches a same-error-order CUDA run on every draw with probability
+  ~99.5%, and the BFV pipeline is agnostic to the +-1 boundary cases
+  regardless (any valid error sample decrypts).
+  sigma = 3.2, clamp +-19.2 and the eps nudges at p == 0 / p == 1
+  (salsa_common.h:31, distributions.cuh:157-189) preserved exactly.
 
 * **Ternary**: exact.  `b = int(byte / (255.0f/3)) - 1` has exact integer
   thresholds (85/170/255, since 255/3 = 85.0f and k*85/85.0f rounds
   exactly); byte == 255 yields b == 2 — a reference quirk we preserve
   bit-for-bit (bfv_keygen.cuh:29-30).
 
-.. warning:: **Keygen and encryption must never share a nonce.**  Both
-  pipelines read the ternary draw from the SAME keystream region (bytes
-  [0, n) under the fixed key, exactly as the reference's
-  generate_random_default does) — so with equal nonces the encryption
-  ephemeral `u` is bit-identical to the secret key `s`, which is a
-  key-recovery-grade hazard.  The reference only ever runs the fixed
-  nonce-0 pipeline once per process (its bit-exactness contract, which
-  nonce=0 here reproduces); any caller using the per-message nonce API
-  for real encryption must draw keygen and encryption nonces from
-  disjoint spaces (e.g. keygen nonce 0, encryption nonces >= 1).
+**Nonce domain separation** (structural, not documentation-only): both
+pipelines read the ternary draw from the SAME keystream region (bytes
+[0, n) under the fixed key, exactly as the reference's
+generate_random_default does) — with equal raw nonces the encryption
+ephemeral `u` would be bit-identical to the secret key `s`, a
+key-recovery-grade hazard.  Therefore the pipelines map their nonces to
+disjoint spaces before they reach Salsa20: keygen clears bit 63
+(`keygen_nonce`), encryption sets bit 63 on every NONZERO nonce
+(`encrypt_nonce`).  Nonce 0 passes through unchanged in both — the
+reference's fixed-randomness pipeline (its bit-exactness contract) runs
+keygen and encryption on the same nonce-0 stream by construction, and
+stays byte-compatible.  Any nonzero keygen/encrypt nonce pair is
+guaranteed disjoint (tests/test_sampling.py).
 """
 
 from __future__ import annotations
@@ -54,6 +75,24 @@ from . import modmath, salsa20
 U32 = jnp.uint32
 U64 = jnp.uint64
 F32 = jnp.float32
+
+_NONCE_HIGH_BIT = 1 << 63
+
+
+def keygen_nonce(nonce):
+    """Keygen's effective Salsa20 nonce: bit 63 cleared, so the keygen
+    stream space is provably disjoint from every nonzero encryption
+    stream (module docstring).  Nonce 0 maps to 0 (reference compat)."""
+    return jnp.asarray(nonce, U64) & U64(_NONCE_HIGH_BIT - 1)
+
+
+def encrypt_nonce(nonce):
+    """Encryption's effective Salsa20 nonce: bit 63 set on every nonzero
+    nonce; 0 passes through (the reference's fixed-randomness pipeline,
+    which shares the keygen stream BY DESIGN — never reuse a key from
+    nonce-0 keygen with nonce-0 encryption for real data)."""
+    nonce = jnp.asarray(nonce, U64)
+    return jnp.where(nonce == 0, nonce, nonce | U64(_NONCE_HIGH_BIT))
 
 
 def ternary(bytes_u8: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
@@ -168,15 +207,85 @@ def uniform_ref(u64s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
     return _rne53_128_shift64(hi, lo)
 
 
-def gaussian(u32s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
-    """(n,) u32 words -> (r, n) discrete-Gaussian residues; same draw for
-    every modulus (gaussian_dist_xq reads in[i % n]).
+# The pinned Gaussian spec: 38 frozen u32 thresholds.  For u in
+# [1, 2^32-129], d(u) = -19 + #{b in GAUSS_ICDF_BOUNDS : u >= b}; the
+# p == 0 / p == 1 eps-nudge branches (u == 0 and u >= 2^32-128, where
+# f32(u) RNE-rounds to 2^32) both yield |d| == 16.  Generated by
+# gen_gauss_icdf_bounds() from the true double-precision Phi with the
+# reference's u32->f32 quantization emulated exactly; frozen here so the
+# spec is a diffable constant, not a library behavior.
+GAUSS_ICDF_BOUNDS = (
+    7, 40, 233, 1232,
+    5940, 26078, 104261, 379750,
+    1260811, 3818335, 10556606, 26670310,
+    61645758, 130551381, 253768664, 453762321,
+    748401120, 1142399168, 1620621248, 2674346113,
+    3152568192, 3546566273, 3841204865, 4041198721,
+    4164415872, 4233321601, 4268297088, 4284410752,
+    4291148929, 4293706369, 4294587521, 4294862977,
+    4294941313, 4294961281, 4294966144, 4294967168,
+    4294967168, 4294967168,
+)
 
-    Pipeline (convert_gaussian, distributions.cuh:157-189): u32 -> f32,
-    /2^32 (the literal 4294967295 rounds to 2^32 in f32), nudge away from
-    exact 0/1 by FLT_EPSILON, inverse normal CDF, * 3.2, clamp +-19.2,
-    truncate toward zero, negatives mapped to q + d.
-    """
+
+def gen_gauss_icdf_bounds() -> tuple[int, ...]:
+    """Regenerate GAUSS_ICDF_BOUNDS (documentation of the pinned spec).
+
+    Boundary for output >= k is the smallest u32 whose quantized
+    p(u) = f32(u) * 2^-32 satisfies p > Phi((k-1)/3.2) for k <= 0
+    (truncation toward zero: trunc(x) >= k iff x > k-1) and
+    p >= Phi(k/3.2) for k >= 1; k runs -18..19.  Phi is the exact
+    standard normal CDF (double-precision erfc)."""
+    import math
+
+    import numpy as np
+
+    def phi(x):
+        return 0.5 * math.erfc(-x / math.sqrt(2.0))
+
+    def p_of_u(u):
+        return float(np.float32(u)) * 2.0 ** -32
+
+    def smallest_u(pred):
+        lo, hi = 0, 2 ** 32 - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if pred(p_of_u(mid)):
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    out = []
+    for k in range(-18, 20):
+        if k <= 0:
+            t = phi((k - 1) / 3.2)
+            out.append(smallest_u(lambda p, t=t: p > t))
+        else:
+            t = phi(k / 3.2)
+            out.append(smallest_u(lambda p, t=t: p >= t))
+    return tuple(out)
+
+
+def gaussian_int(u32s: jax.Array) -> jax.Array:
+    """(n,) u32 words -> (n,) int32 discrete-Gaussian values in [-19, 16]
+    under the pinned threshold spec (module docstring).  Replaces the
+    reference's convert_gaussian fp32 chain (distributions.cuh:157-189)
+    with 38 integer compares — bit-deterministic on every backend."""
+    b = jnp.asarray(GAUSS_ICDF_BOUNDS, U32)
+    d = jnp.sum(u32s[None, :] >= b[:, None], axis=0).astype(jnp.int32) \
+        - jnp.int32(19)
+    # eps-nudge branches: p == 0 (u == 0) -> -16; p == 1 (f32(u) RNE-ties
+    # to 2^32, i.e. u >= 2^32 - 128) -> +16
+    d = jnp.where(u32s == U32(0), jnp.int32(-16), d)
+    d = jnp.where(u32s >= U32(2 ** 32 - 128), jnp.int32(16), d)
+    return d
+
+
+def _gaussian_f32_pipeline(u32s: jax.Array) -> jax.Array:
+    """The fp32 chain the pinned spec replaces (u32 -> f32, /2^32, f32
+    ndtri, * 3.2, clamp, truncate) — kept ONLY as the independent
+    implementation the deviation-counting test compares against."""
     d = u32s.astype(F32) * F32(2.0 ** -32)
     eps = F32(1.192092896e-07)
     d = jnp.where(d == 0, d + eps, d)
@@ -184,10 +293,16 @@ def gaussian(u32s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
     z = jax.scipy.special.ndtri(d.astype(F32)).astype(F32)
     z = z * F32(3.2)
     z = jnp.clip(z, F32(-19.2), F32(19.2))
-    dd = z.astype(jnp.int32)  # C-style truncation toward zero
-    dd64 = dd.astype(jnp.int64)
+    return z.astype(jnp.int32)  # C-style truncation toward zero
+
+
+def gaussian(u32s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
+    """(n,) u32 words -> (r, n) discrete-Gaussian residues; same draw for
+    every modulus (gaussian_dist_xq reads in[i % n]); negatives mapped to
+    q + d (convert_gaussian, distributions.cuh:184-188)."""
+    dd64 = gaussian_int(u32s).astype(jnp.int64)
     out = jnp.where(dd64 < 0, ms.q.astype(jnp.int64) + dd64,
-                    jnp.broadcast_to(dd64, (ms.r,) + dd.shape))
+                    jnp.broadcast_to(dd64, (ms.r,) + dd64.shape))
     return out.astype(U64)
 
 
@@ -214,7 +329,8 @@ def keygen_draws(n: int, r: int, ms: modmath.ModulusSet,
     bit-for-bit — uniform_ref)."""
     nbytes = keygen_entropy_bytes(n, r)
     bw = salsa20.keystream_block_words((nbytes + 63) // 64,
-                                       key_byte=key_byte, nonce=nonce,
+                                       key_byte=key_byte,
+                                       nonce=keygen_nonce(nonce),
                                        impl=ks_impl)
     s = ternary(salsa20.block_words_u8(bw, 0, n), ms)
     ufn = uniform_ref if uniform_spec == "fp64" else uniform
@@ -237,7 +353,8 @@ def encrypt_draws(n: int, r: int, ms: modmath.ModulusSet,
     offset n, e1 u32 lanes at byte offset 5n."""
     nbytes = encrypt_entropy_bytes(n)
     bw = salsa20.keystream_block_words((nbytes + 63) // 64,
-                                       key_byte=key_byte, nonce=nonce,
+                                       key_byte=key_byte,
+                                       nonce=encrypt_nonce(nonce),
                                        impl=ks_impl)
     u = ternary(salsa20.block_words_u8(bw, 0, n), ms)
     e0 = gaussian(salsa20.block_words_u32(bw, n, n), ms)

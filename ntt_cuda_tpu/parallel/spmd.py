@@ -152,7 +152,10 @@ class SpmdBFVContext:
                        in_specs=(P(), ms_spec, ftab_spec),
                        out_specs=(P("rns", None), P(None, "rns", None)),
                        check_vma=False)
-        return jax.jit(fn), (jnp.asarray(nonce, U64), self.ms, self.ftab)
+        # same structural nonce domain separation as the single-chip path
+        # (sampling.keygen_nonce) — sharded == single-chip stays bit-exact
+        return jax.jit(fn), (sampling.keygen_nonce(nonce), self.ms,
+                             self.ftab)
 
     def encrypt(self, pk, m_poly, nonce=0):
         """pk (2, r, n) NTT-domain -> padded ciphertext (2, r, n), the
@@ -209,7 +212,7 @@ class SpmdBFVContext:
                                  ms_spec, ftab_spec, tail_spec),
                        out_specs=P(None, "rns", None),
                        check_vma=False)
-        return jax.jit(fn), (jnp.asarray(nonce, U64), pk,
+        return jax.jit(fn), (sampling.encrypt_nonce(nonce), pk,
                              jnp.asarray(m_poly, U64), self.ms, self.ftab,
                              self.tail_consts)
 

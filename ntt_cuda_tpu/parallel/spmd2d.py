@@ -200,7 +200,8 @@ class Spmd2DBFVContext:
             in_specs=(P(), self._ms_spec()) + specs,
             out_specs=(P(RNS_AXIS, COEF_AXIS), P(None, RNS_AXIS, COEF_AXIS)),
             check_vma=False)
-        return jax.jit(fn), ((jnp.asarray(nonce, U64), self.ms)
+        # structural nonce domain separation, as in the single-chip path
+        return jax.jit(fn), ((sampling.keygen_nonce(nonce), self.ms)
                              + self._tables())
 
     def encrypt(self, pk, m_poly, nonce=0):
@@ -255,7 +256,7 @@ class Spmd2DBFVContext:
                      + specs,
             out_specs=P(None, RNS_AXIS, COEF_AXIS),
             check_vma=False)
-        return jax.jit(fn), ((jnp.asarray(nonce, U64), pk,
+        return jax.jit(fn), ((sampling.encrypt_nonce(nonce), pk,
                               jnp.asarray(m_poly, U64), self.ms,
                               self.tail_consts) + self._tables())
 

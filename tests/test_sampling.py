@@ -7,6 +7,7 @@ treatment (keygen_test.cu histogram) plus clamp/truncation checks.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ntt_cuda_tpu.ops import modmath, salsa20, sampling
@@ -94,6 +95,58 @@ def test_gaussian_stats(rng):
         np.testing.assert_array_equal(signed, signed_i)
 
 
+def test_gauss_bounds_frozen():
+    """The pinned Gaussian spec IS the 38 frozen thresholds: the
+    documented generator (exact double-precision Phi + the reference's
+    u32->f32 RNE quantization) reproduces them bit-for-bit."""
+    assert sampling.gen_gauss_icdf_bounds() == sampling.GAUSS_ICDF_BOUNDS
+    assert len(sampling.GAUSS_ICDF_BOUNDS) == 38
+    assert list(sampling.GAUSS_ICDF_BOUNDS) == \
+        sorted(sampling.GAUSS_ICDF_BOUNDS)
+
+
+def test_gaussian_pinned_special_cases():
+    """eps-nudge branches and monotone step behavior at the edges."""
+    u = jnp.asarray(np.array(
+        [0, 1, 6, 7, 2**31, 2**32 - 129, 2**32 - 128, 2**32 - 1],
+        dtype=np.uint32))
+    d = np.asarray(sampling.gaussian_int(u))
+    assert d[0] == -16            # p == 0 -> +eps branch
+    assert d[1] == -19            # smallest nonzero p, clamped
+    assert d[2] == -19 and d[3] == -18   # first threshold at u=7
+    assert d[4] == 0
+    assert d[5] == 16             # largest quantized p below 1.0f
+    assert d[6] == 16 and d[7] == 16     # f32(u) RNE-ties to 2^32 -> 1-eps
+    # monotone in u over the non-nudged domain
+    rng = np.random.default_rng(11)
+    us = np.sort(rng.integers(1, 2**32 - 128, 1 << 16).astype(np.uint32))
+    ds = np.asarray(sampling.gaussian_int(jnp.asarray(us)))
+    assert (np.diff(ds) >= 0).all()
+
+
+def test_gaussian_pinned_vs_f32_pipeline():
+    """Deviation count vs the independent f32 ndtri pipeline (VERDICT
+    round-2 item 4): every disagreement is +-1 and adjacent to a pinned
+    threshold; exhaustive +-4096 windows contain exactly 720 of them
+    (1.7e-7 of the u32 space) and a 2e5 random sample away from the
+    windows contains none."""
+    bounds = sorted(set(sampling.GAUSS_ICDF_BOUNDS))
+    wins = [np.arange(max(0, b - 4096), min(2**32, b + 4096),
+                      dtype=np.uint64) for b in bounds]
+    u_win = np.unique(np.concatenate(wins)).astype(np.uint32)
+    a = np.asarray(sampling.gaussian_int(jnp.asarray(u_win)))
+    c = np.asarray(sampling._gaussian_f32_pipeline(jnp.asarray(u_win)))
+    mism = np.flatnonzero(a != c)
+    assert len(mism) == 720
+    assert np.abs(a[mism].astype(int) - c[mism].astype(int)).max() == 1
+    rng = np.random.default_rng(12)
+    u_rand = rng.integers(0, 2**32, 200_000, dtype=np.uint32)
+    u_rand = np.setdiff1d(u_rand, u_win)
+    a2 = np.asarray(sampling.gaussian_int(jnp.asarray(u_rand)))
+    c2 = np.asarray(sampling._gaussian_f32_pipeline(jnp.asarray(u_rand)))
+    np.testing.assert_array_equal(a2, c2)
+
+
 def test_keygen_draw_layout():
     """Byte-consumption layout equals the reference's offsets
     (bfv_keygen.cuh:120-122)."""
@@ -111,6 +164,7 @@ def test_keygen_draw_layout():
         np.testing.assert_array_equal(np.asarray(a[i]), np.array(exp_a, dtype=np.uint64))
 
 
+@pytest.mark.slow
 def test_uniform_ref_matches_ieee_double(rng):
     """uniform_ref reproduces the reference's exact fp64 semantics
     ((double)u / UINT64_MAX * (q-1) truncated, bfv_keygen.cuh:33-45) —
@@ -138,6 +192,7 @@ def test_uniform_ref_matches_ieee_double(rng):
             assert [int(v) for v in got[i][:64]] == exp_g
 
 
+@pytest.mark.slow
 def test_keygen_fp64_uniform_spec():
     """BFVContext(uniform_spec="fp64"): keygen's `a` draw follows the
     reference's double-precision spec byte-for-byte (making keygen output
@@ -160,6 +215,7 @@ def test_keygen_fp64_uniform_spec():
     np.testing.assert_array_equal(out, np.asarray(m))
 
 
+@pytest.mark.slow
 def test_keystream_pallas_matches_xla():
     """The Pallas keystream generator (used on TPU) is bit-identical to
     the XLA path for every layout case: partial chunks, nonzero nonces,
