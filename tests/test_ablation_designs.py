@@ -19,6 +19,7 @@ from ntt_cuda_tpu.params import get_bfv_params  # noqa: E402
 
 
 @pytest.mark.parametrize("design", ["RI", "CG", "RS"])
+@pytest.mark.slow
 def test_design_bitexact(rng, design):
     p = get_bfv_params("4k_3q")
     ftab = ntt_pallas.tables_for(p)

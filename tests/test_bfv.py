@@ -96,6 +96,7 @@ def test_roundtrip_other_sets(name, rng):
     np.testing.assert_array_equal(got, m)
 
 
+@pytest.mark.slow
 def test_pallas_backend_bitexact(ctx4k, rng):
     """The fused Pallas NTT backend produces bit-identical keygen /
     encrypt / decrypt results to the XLA backend (interpret mode on CPU;
@@ -198,6 +199,7 @@ def test_decrypt_golden_vectors_pallas_fused(ctx4k):
     np.testing.assert_array_equal(m, np.arange(p.n, dtype=np.uint64) % 10)
 
 
+@pytest.mark.slow
 def test_pallas_backend_bitexact_8k(rng):
     """Fused-kernel pipelines vs XLA at a second (n, r) geometry
     (n=8192, r=4) — covers encrypt_fused / ntt_forward_addneg at
@@ -237,6 +239,7 @@ def test_forward_addneg_fused_bitexact(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_pallas_roundtrip_minimum_r(rng):
     """r=2 (one kept residue) exercises encrypt_fused's grid-edge: the
     last-residue step's garbage output slot is the SAME row the only

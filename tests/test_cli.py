@@ -57,6 +57,7 @@ def test_ntt_test_30bit_family():
     assert cli.main(["ntt-test", "--n", "2048", "--family", "30bit"]) == 0
 
 
+@pytest.mark.slow
 def test_padded_ciphertext_serialization(tmp_path, rng):
     """SPMD padded (2, r, n) ciphertexts round-trip through .npz and
     convert between layouts; a zero-padded slot decrypts identically

@@ -49,6 +49,7 @@ def spmd2d_ctx():
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_spmd_keygen_has_zero_collectives(spmd_ctx):
     _, sctx = spmd_ctx
     counts = _collective_counts(sctx.lowered_keygen())
@@ -56,6 +57,7 @@ def test_spmd_keygen_has_zero_collectives(spmd_ctx):
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_spmd_encrypt_has_exactly_one_psum(spmd_ctx):
     import jax.numpy as jnp
     p, sctx = spmd_ctx
@@ -80,6 +82,7 @@ def test_spmd_decrypt_has_exactly_one_psum(spmd_ctx):
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_spmd2d_collective_budget(spmd2d_ctx):
     """(rns=2, coef=4) mesh: each cross-shard transform costs exactly
     log2(C)=2 collective-permutes; keygen runs 3 transforms (6 permutes,

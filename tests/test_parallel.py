@@ -68,6 +68,7 @@ def test_sharded_ntt_bitexact_60bit_large(rng):
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_rns_sharded_bfv_pipeline(rng):
     """GSPMD rns-axis sharding of keygen/encrypt/decrypt (r=4 over rns=2)
     matches the unsharded pipeline bit-exactly."""
@@ -90,6 +91,7 @@ def test_rns_sharded_bfv_pipeline(rng):
     np.testing.assert_array_equal(got_ref, m)
 
 
+@pytest.mark.slow
 def test_primegen_params_roundtrip(rng):
     p = primegen.make_bfv_params(512, 28, 4)
     assert all(q % (2 * p.n) == 1 for q in p.q)
@@ -112,6 +114,7 @@ def test_pod_mesh_single_process():
     assert multihost.is_coordinator()
 
 
+@pytest.mark.slow
 def test_config5_n17_sharded_ntt_and_bfv(rng):
     """BASELINE.json config 5: N=2^17 NTT + BFV across a sharded mesh.
 

@@ -27,6 +27,7 @@ def setup():
     return params, ref, ctx
 
 
+@pytest.mark.slow
 def test_spmd_keygen_bitexact(setup):
     params, ref, ctx = setup
     sk_r, pk_r = ref.keygen()
@@ -35,6 +36,7 @@ def test_spmd_keygen_bitexact(setup):
     np.testing.assert_array_equal(np.asarray(pk_s), np.asarray(pk_r))
 
 
+@pytest.mark.slow
 def test_spmd_encrypt_decrypt_bitexact(setup):
     params, ref, ctx = setup
     sk, pk = ref.keygen()
@@ -52,6 +54,7 @@ def test_spmd_encrypt_decrypt_bitexact(setup):
                                   np.asarray(m))
 
 
+@pytest.mark.slow
 def test_spmd_nonce_matches_single_chip(setup):
     """Counter-mode keystream slicing must give the same draws as the
     single-chip path for ANY nonce, not just the deterministic default."""

@@ -22,6 +22,7 @@ def setup():
     return params, ref, ctx
 
 
+@pytest.mark.slow
 def test_spmd2d_keygen_bitexact(setup):
     params, ref, ctx = setup
     sk_r, pk_r = ref.keygen()
@@ -30,6 +31,7 @@ def test_spmd2d_keygen_bitexact(setup):
     np.testing.assert_array_equal(np.asarray(pk_s), np.asarray(pk_r))
 
 
+@pytest.mark.slow
 def test_spmd2d_encrypt_decrypt_bitexact(setup):
     params, ref, ctx = setup
     sk, pk = ref.keygen()
