@@ -1,0 +1,77 @@
+"""Worker for the 2-process multi-host smoke test (run by
+tests/test_multihost.py, one subprocess per controller).
+
+Each process owns 2 virtual CPU devices; the pair forms a 4-device
+('rns', 'coef') pod mesh.  Exercises the previously-unexecuted runtime
+path (parallel/multihost.py): jax.distributed.initialize, pod_mesh, a
+cross-process psum, and a tiny SpmdBFV keygen whose addressable shards
+must be bit-identical to the single-chip reference pipeline.
+"""
+
+import os
+import sys
+
+coordinator, num, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from ntt_cuda_tpu.parallel import multihost  # noqa: E402
+
+multihost.initialize(coordinator_address=coordinator, num_processes=num,
+                     process_id=pid)
+assert jax.process_count() == num, jax.process_count()
+assert len(jax.devices()) == 2 * num
+assert multihost.is_coordinator() == (pid == 0)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+from jax import shard_map  # noqa: E402
+
+# ---- pod_mesh + one cross-process (DCN-axis) psum -------------------------
+mesh = multihost.pod_mesh()          # rns=2 across processes, coef=2 within
+assert mesh.shape == {"rns": 2, "coef": 2}, mesh.shape
+# each process's devices sit in one rns row (coef rides the intra-host axis)
+for rns_row in range(2):
+    owners = {d.process_index for d in mesh.devices[rns_row]}
+    assert owners == {rns_row}, (rns_row, owners)
+
+
+@jax.jit
+def psum_over_rns(x):
+    fn = shard_map(lambda v: jax.lax.psum(v, "rns"), mesh=mesh,
+                   in_specs=P("rns"), out_specs=P())
+    return fn(x)
+
+
+x = jnp.arange(4.0)                  # shard i holds [2i, 2i+1]
+out = psum_over_rns(x)
+np.testing.assert_allclose(np.asarray(out), np.array([2.0, 4.0]))
+
+# ---- tiny SpmdBFV keygen across the two processes -------------------------
+from ntt_cuda_tpu.models import bfv  # noqa: E402
+from ntt_cuda_tpu.parallel import spmd  # noqa: E402
+from ntt_cuda_tpu.utils import primegen  # noqa: E402
+
+params = primegen.make_bfv_params(2048, 40, 2)
+rns_mesh_devs = [mesh.devices[0][0], mesh.devices[1][0]]  # one per process
+ctx = spmd.SpmdBFVContext.build(params, devices=rns_mesh_devs,
+                                interpret=True)
+sk_s, pk_s = ctx.keygen()
+
+ref = bfv.BFVContext.build(params, backend="xla")
+sk_r, pk_r = ref.keygen()            # deterministic, same in both processes
+
+for got, exp in ((sk_s, sk_r), (pk_s, pk_r)):
+    exp_np = np.asarray(exp)
+    for shard in got.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data),
+                                      exp_np[shard.index])
+
+print(f"proc {pid}: multihost smoke OK", flush=True)
