@@ -305,9 +305,105 @@ def bench_bfv(set_names):
     return results
 
 
+def bench_bfv_batched(set_names, J=16):
+    """Throughput mode: J messages per kernel sweep via encrypt_batch /
+    decrypt_batch (one modulus-major grid, twiddles fetched once per
+    modulus for all J messages).  The V100's Table 7 latencies are
+    themselves 18-36-transform batches (BASELINE.md:14-15), so ops/s
+    here vs 1e6/latency there is the apples-to-apples economics."""
+    import jax
+    import jax.numpy as jnp
+    from ntt_cuda_tpu.models import bfv
+    from ntt_cuda_tpu.params import get_bfv_params
+    from ntt_cuda_tpu.utils import profiling
+
+    results = {}
+    for name in set_names:
+        if _over_budget():
+            _log(f"[bench] over time budget, skipping batched {name}")
+            continue
+        p = get_bfv_params(name)
+        ctx = bfv.BFVContext.build(p)
+        n, r = p.n, p.r
+        t0 = time.perf_counter()
+        m_batch = jnp.asarray(
+            np.arange(J * n, dtype=np.uint64).reshape(J, n) % p.t)
+        nonces0 = jnp.arange(1, J + 1, dtype=jnp.uint64)
+        q0 = jnp.uint64(p.q[0])
+        sk, pk = ctx.keygen()
+        cts = ctx.encrypt_batch(pk, m_batch, nonces0)
+
+        @jax.jit
+        def enc_step(c, k):
+            def body(_, cc):
+                return ctx.encrypt_batch(pk, m_batch,
+                                         nonces0 + cc[0, 0, 0, 0])
+            return jax.lax.fori_loop(0, k, body, c)
+
+        @jax.jit
+        def dec_step(c, k):
+            def body(_, cc):
+                out = ctx.decrypt_batch(sk, cc)
+                return cc.at[0, 0, 0, 0].set((cc[0, 0, 0, 0] + out[0, 0])
+                                             % q0)
+            return jax.lax.fori_loop(0, k, body, c)
+
+        hi = max(16, (1 << 24) // (n * r * J))
+        kw = dict(inner_lo=max(2, hi // 8), inner_hi=hi, reps=3, epochs=3)
+        t_enc = profiling.time_chained_dynamic(enc_step, cts, **kw)
+        t_dec = profiling.time_chained_dynamic(dec_step, cts, **kw)
+        if min(t_enc, t_dec) <= 0:
+            _log(f"[bench] batched {name}: degenerate slope, skipping")
+            continue
+        _, b_enc, b_dec = BASELINE_BFV_US[name]
+        enc_ops = J / t_enc
+        dec_ops = J / t_dec
+        results[name] = {
+            "J": J,
+            "encrypt_us_per_msg": round(t_enc / J * 1e6, 2),
+            "decrypt_us_per_msg": round(t_dec / J * 1e6, 2),
+            "encrypt_ops_per_s": round(enc_ops, 1),
+            "decrypt_ops_per_s": round(dec_ops, 1),
+            "encrypt_vs_baseline": round(enc_ops / (1e6 / b_enc), 3),
+            "decrypt_vs_baseline": round(dec_ops / (1e6 / b_dec), 3),
+        }
+        _log(f"[bench] batched {name}: enc {enc_ops:.0f} dec {dec_ops:.0f} "
+             f"ops/s ({time.perf_counter()-t0:.0f}s incl. compiles)")
+    return results
+
+
+def _arm_backend_watchdog() -> "threading.Event":
+    """The relay-backed TPU backend can hang at init (observed: a
+    jax.devices() that never returns).  If the first backend touch hasn't
+    completed within BENCH_INIT_TIMEOUT_SEC (default 600), print a
+    parseable error headline so the driver artifact is never empty, then
+    hard-exit (the init hang is not recoverable in-process)."""
+    import threading
+
+    ok = threading.Event()
+
+    def watchdog():
+        limit = float(os.environ.get("BENCH_INIT_TIMEOUT_SEC", "600"))
+        if not ok.wait(limit):
+            print(json.dumps({
+                "metric": "NTT/s/chip @ N=2^15, 55-bit q (fused pallas, "
+                          "16-modulus batch)",
+                "value": None, "unit": "transforms/sec",
+                "vs_baseline": None,
+                "error": f"TPU backend init hung > {limit:.0f}s "
+                         "(relay tunnel unresponsive)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return ok
+
+
 def main() -> None:
+    init_ok = _arm_backend_watchdog()
     import jax
     _log(f"[bench] backend={jax.default_backend()}")
+    init_ok.set()
 
     tf = bench_transforms()
     ntt_per_sec = 1e6 / tf["ntt"]
@@ -335,6 +431,9 @@ def main() -> None:
         names = ([s for s in sets.split(",") if s] if sets
                  else ["32k_9q", "32k_16q", "4k_3q", "8k_4q", "16k_5q"])
         detail["bfv_table7"] = bench_bfv(names)
+        bsets = os.environ.get("BENCH_BATCH_SETS", "32k_9q,16k_5q")
+        detail["bfv_batched"] = bench_bfv_batched(
+            [s for s in bsets.split(",") if s])
 
     headline = {
         "metric": "NTT/s/chip @ N=2^15, 55-bit q (fused pallas, "

@@ -68,3 +68,24 @@ def test_spmd_nonce_matches_single_chip(setup):
     ct_s = ctx.encrypt(pk_s, m, nonce=9)
     np.testing.assert_array_equal(
         np.asarray(ct_s)[:, : params.r - 1], np.asarray(ct_r))
+
+
+@pytest.mark.slow
+def test_spmd_behz_boundary_pipeline_r16_shards8():
+    """End-to-end decrypt at rns=8 shards, r=16 — drives the split-halves
+    BEHZ psum (bfv_tail.psum_behz_partials) through the REAL pipeline
+    wiring at a shard count where a naive u64 gamma-partial sum could
+    wrap (the unit test proves the math; this proves the wiring —
+    VERDICT round-2 item 7).  Bit-identical to the single-chip path."""
+    params = primegen.make_bfv_params(2048, 40, 16)
+    ref = bfv.BFVContext.build(params, backend="xla")
+    ctx = spmd.SpmdBFVContext.build(params, devices=jax.devices()[:8],
+                                    interpret=True)
+    sk, pk = ref.keygen()
+    m = jnp.asarray(np.arange(params.n, dtype=np.uint64) % params.t)
+    ct_ref = ref.encrypt(pk, m)
+    ct_s = ctx.encrypt(pk, m)
+    np.testing.assert_array_equal(
+        np.asarray(ct_s)[:, : params.r - 1], np.asarray(ct_ref))
+    out = np.asarray(ctx.decrypt(sk, ct_s))
+    np.testing.assert_array_equal(out, np.asarray(m))
