@@ -338,15 +338,11 @@ def _encrypt_batch_jit(nonces, pk, m_batch, ms_full, ms_drop, ms_last,
                        tables, ftab, dr_consts, msg_consts, tail_consts,
                        n: int, r: int, J: int, backend: str,
                        fusion: str = "op"):
-    """J-message encryption; draws are J keystream sweeps (one per nonce,
-    counter-mode Salsa20 has no cross-message batch shape), the compute
-    is one J-batched kernel sweep on the pallas backends."""
+    """J-message encryption: the J per-nonce keystreams run as ONE
+    batched kernel (salsa20.keystream_block_words_batch) and the compute
+    as one J-batched kernel sweep on the pallas backends."""
     ks = "pallas" if backend == "pallas" else "xla"
-    draws = [sampling.encrypt_draws(n, r, ms_full, nonce=nonces[j],
-                                    ks_impl=ks)
-             for j in range(J)]
-    u = jnp.stack([d[0] for d in draws])                   # (J, r, n)
-    e = jnp.stack([jnp.stack([d[1], d[2]]) for d in draws])  # (J, 2, r, n)
+    u, e = sampling.encrypt_draws_batch(n, r, ms_full, nonces, ks_impl=ks)
     if backend != "xla" and fusion == "op":
         return fused_ops.encrypt_fused(u, pk, e, m_batch.astype(U64),
                                        ftab, tail_consts,

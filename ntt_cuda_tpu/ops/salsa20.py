@@ -119,35 +119,42 @@ def _keystream_xla(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
 _CHUNK = 1024          # blocks per grid step, laid out (8, 128)
 
 
-def _make_salsa_kernel(rounds: int, key_byte: int):
+def _salsa_chunk(rounds: int, key_byte: int, nonce_lo, nonce_hi,
+                 ctr0_lo, ctr0_hi, g):
+    """One (8, 128)-lane chunk of keystream: 16 output planes for blocks
+    [g*_CHUNK, (g+1)*_CHUNK) of the (nonce, counter0) stream."""
     kw = _key_words(key_byte)
+    idx = (jax.lax.broadcasted_iota(U32, (8, 128), 0) * U32(128)
+           + jax.lax.broadcasted_iota(U32, (8, 128), 1)
+           + U32(g * _CHUNK))
+    c_lo = ctr0_lo + idx
+    carry = (c_lo < idx).astype(U32)
+    c_hi = ctr0_hi + carry
+    full = lambda v: jnp.full((8, 128), v, U32)
+    j = [
+        full(SIGMA_WORDS[0]),
+        full(kw[0]), full(kw[1]), full(kw[2]), full(kw[3]),
+        full(SIGMA_WORDS[1]),
+        jnp.broadcast_to(nonce_lo, (8, 128)),
+        jnp.broadcast_to(nonce_hi, (8, 128)),
+        c_lo, c_hi,
+        full(SIGMA_WORDS[2]),
+        full(kw[4]), full(kw[5]), full(kw[6]), full(kw[7]),
+        full(SIGMA_WORDS[3]),
+    ]
+    x = list(j)
+    for _ in range(rounds // 2):
+        _double_round(x)
+    return [x[p] + j[p] for p in range(16)]
 
+
+def _make_salsa_kernel(rounds: int, key_byte: int):
     def kernel(sc_ref, out_ref):
         # sc_ref (SMEM): [nonce_lo, nonce_hi, counter0_lo, counter0_hi]
-        g = pl.program_id(0)
-        idx = (jax.lax.broadcasted_iota(U32, (8, 128), 0) * U32(128)
-               + jax.lax.broadcasted_iota(U32, (8, 128), 1)
-               + U32(g * _CHUNK))
-        c_lo = sc_ref[2] + idx
-        carry = (c_lo < idx).astype(U32)
-        c_hi = sc_ref[3] + carry
-        full = lambda v: jnp.full((8, 128), v, U32)
-        j = [
-            full(SIGMA_WORDS[0]),
-            full(kw[0]), full(kw[1]), full(kw[2]), full(kw[3]),
-            full(SIGMA_WORDS[1]),
-            jnp.broadcast_to(sc_ref[0], (8, 128)),
-            jnp.broadcast_to(sc_ref[1], (8, 128)),
-            c_lo, c_hi,
-            full(SIGMA_WORDS[2]),
-            full(kw[4]), full(kw[5]), full(kw[6]), full(kw[7]),
-            full(SIGMA_WORDS[3]),
-        ]
-        x = list(j)
-        for _ in range(rounds // 2):
-            _double_round(x)
+        planes = _salsa_chunk(rounds, key_byte, sc_ref[0], sc_ref[1],
+                              sc_ref[2], sc_ref[3], pl.program_id(0))
         for p in range(16):
-            out_ref[p, 0] = x[p] + j[p]
+            out_ref[p, 0] = planes[p]
     return kernel
 
 
@@ -190,6 +197,79 @@ def _keystream_pallas(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
     return out.reshape(16, G * _CHUNK)[:, :nblocks]
 
 
+def keystream_block_words_batch(nblocks: int, nonces: jax.Array,
+                                key_byte: int = DEFAULT_KEY_BYTE,
+                                rounds: int = 20, counter0=0,
+                                impl: str | None = None) -> jax.Array:
+    """(J,) nonces -> (J, 16, nblocks) keystream planes, ONE kernel.
+
+    The batched-encryption draw path: counter-mode streams are per-nonce,
+    so J messages need J streams — but one pallas_call with a (J, G) grid
+    (nonce row in scalar prefetch) instead of J dispatches.  Each row is
+    bit-identical to keystream_block_words(nblocks, nonce=nonces[j])."""
+    nonces = jnp.asarray(nonces, U64)
+    counter0 = jnp.asarray(counter0, U64)
+    if impl is None:
+        import jax as _jax
+        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return jax.vmap(
+            lambda nn: _keystream_xla(nblocks, key_byte=key_byte, nonce=nn,
+                                      rounds=rounds, counter0=counter0)
+        )(nonces)
+    return _keystream_pallas_batch(nblocks, nonces, key_byte=key_byte,
+                                   rounds=rounds, counter0=counter0,
+                                   interpret=(impl == "pallas-interpret"))
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks", "key_byte",
+                                             "rounds", "interpret"))
+def _keystream_pallas_batch(nblocks: int, nonces: jax.Array,
+                            key_byte: int = DEFAULT_KEY_BYTE,
+                            rounds: int = 20, counter0=0,
+                            interpret: bool = False) -> jax.Array:
+    (J,) = nonces.shape
+    G = -(-nblocks // _CHUNK)
+    counter0 = jnp.asarray(counter0, U64)
+    # sc rows: [nonce_lo, nonce_hi, counter0_lo, counter0_hi] per message
+    sc = jnp.stack([
+        (nonces & U64(0xFFFFFFFF)).astype(U32),
+        (nonces >> U64(32)).astype(U32),
+        jnp.broadcast_to((counter0 & U64(0xFFFFFFFF)).astype(U32), (J,)),
+        jnp.broadcast_to((counter0 >> U64(32)).astype(U32), (J,)),
+    ], axis=1)
+    def kernel(sc_ref, out_ref):
+        j = pl.program_id(0)
+        planes = _salsa_chunk(rounds, key_byte, sc_ref[j, 0], sc_ref[j, 1],
+                              sc_ref[j, 2], sc_ref[j, 3], pl.program_id(1))
+        for p in range(16):
+            out_ref[0, p, 0] = planes[p]
+
+    z = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(J, G),
+        in_specs=[],
+        out_specs=[pl.BlockSpec((1, 16, 1, 8, 128),
+                                lambda j, g, sc_: (j, z, g, z, z),
+                                memory_space=pltpu.VMEM)],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((J, 16, G, 8, 128), jnp.uint32)],
+        interpret=interpret,
+        **kwargs,
+    )(sc)[0]
+    if interpret:
+        out = jax.lax.optimization_barrier(out)
+    return out.reshape(J, 16, G * _CHUNK)[:, :, :nblocks]
+
+
 def keystream_words(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
                     nonce=0, rounds: int = 20) -> jax.Array:
     """Keystream as a flat u32 array of length nblocks*16, little-endian
@@ -226,6 +306,29 @@ def block_words_u8(bw: jax.Array, start: int, count: int) -> jax.Array:
     w = block_words_u32(bw, start, -(-count // 4))
     b = jnp.stack([(w >> U32(8 * k)) & U32(0xFF) for k in range(4)], axis=1)
     return b.reshape(-1)[:count]
+
+
+def block_words_u32_batch(bw: jax.Array, start: int, count: int) -> jax.Array:
+    """Batched block_words_u32: (J, 16, nb_total) -> (J, count) canonical
+    stream words from block-aligned byte offset `start`, per message."""
+    assert start % 64 == 0
+    J = bw.shape[0]
+    blk0 = start // 64
+    nb = -(-count // 16)
+    w = jax.lax.slice_in_dim(bw, blk0, blk0 + nb, axis=2)   # (J, 16, nb)
+    if nb % 128 == 0:
+        G = nb // 128
+        t = w.reshape(J, 16, G, 128).transpose(0, 2, 3, 1)
+    else:
+        t = w.transpose(0, 2, 1)
+    return t.reshape(J, nb * 16)[:, :count]
+
+
+def block_words_u8_batch(bw: jax.Array, start: int, count: int) -> jax.Array:
+    """Batched block_words_u8: (J, 16, nb_total) -> (J, count) bytes."""
+    w = block_words_u32_batch(bw, start, -(-count // 4))
+    b = jnp.stack([(w >> U32(8 * k)) & U32(0xFF) for k in range(4)], axis=2)
+    return b.reshape(w.shape[0], -1)[:, :count]
 
 
 def block_words_u64(bw: jax.Array, start: int, count: int) -> jax.Array:

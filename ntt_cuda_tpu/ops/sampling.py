@@ -268,12 +268,13 @@ def gen_gauss_icdf_bounds() -> tuple[int, ...]:
 
 
 def gaussian_int(u32s: jax.Array) -> jax.Array:
-    """(n,) u32 words -> (n,) int32 discrete-Gaussian values in [-19, 16]
-    under the pinned threshold spec (module docstring).  Replaces the
-    reference's convert_gaussian fp32 chain (distributions.cuh:157-189)
-    with 38 integer compares — bit-deterministic on every backend."""
+    """(..., n) u32 words -> (..., n) int32 discrete-Gaussian values in
+    [-19, 16] under the pinned threshold spec (module docstring).
+    Replaces the reference's convert_gaussian fp32 chain
+    (distributions.cuh:157-189) with 38 integer compares —
+    bit-deterministic on every backend."""
     b = jnp.asarray(GAUSS_ICDF_BOUNDS, U32)
-    d = jnp.sum(u32s[None, :] >= b[:, None], axis=0).astype(jnp.int32) \
+    d = jnp.sum(u32s[..., None] >= b, axis=-1).astype(jnp.int32) \
         - jnp.int32(19)
     # eps-nudge branches: p == 0 (u == 0) -> -16; p == 1 (f32(u) RNE-ties
     # to 2^32, i.e. u >= 2^32 - 128) -> +16
@@ -360,3 +361,35 @@ def encrypt_draws(n: int, r: int, ms: modmath.ModulusSet,
     e0 = gaussian(salsa20.block_words_u32(bw, n, n), ms)
     e1 = gaussian(salsa20.block_words_u32(bw, 5 * n, n), ms)
     return u, e0, e1
+
+
+def encrypt_draws_batch(n: int, r: int, ms: modmath.ModulusSet,
+                        nonces: jax.Array,
+                        key_byte: int = salsa20.DEFAULT_KEY_BYTE,
+                        ks_impl: str | None = None):
+    """Batched encrypt_draws: (J,) nonces -> (u (J, r, n), e (J, 2, r, n)).
+
+    One keystream kernel for all J per-nonce streams
+    (salsa20.keystream_block_words_batch) and batched converters, instead
+    of J dispatch chains.  Row j is bit-identical to
+    encrypt_draws(..., nonce=nonces[j]) (tests/test_sampling.py)."""
+    (J,) = nonces.shape
+    nbytes = encrypt_entropy_bytes(n)
+    bw = salsa20.keystream_block_words_batch(
+        (nbytes + 63) // 64, encrypt_nonce(nonces), key_byte=key_byte,
+        impl=ks_impl)                                      # (J, 16, nb)
+    q = ms.q.astype(jnp.int64)[None, :, :]                 # (1, r, 1)
+
+    b = (salsa20.block_words_u8_batch(bw, 0, n).astype(jnp.int32) // 85) - 1
+    b64 = b.astype(jnp.int64)[:, None, :]                  # (J, 1, n)
+    u = jnp.where(b64 < 0, q + b64,
+                  jnp.broadcast_to(b64, (J, ms.r, n))).astype(U64)
+
+    def gauss(start):
+        dd = gaussian_int(salsa20.block_words_u32_batch(bw, start, n))
+        dd64 = dd.astype(jnp.int64)[:, None, :]            # (J, 1, n)
+        return jnp.where(dd64 < 0, q + dd64,
+                         jnp.broadcast_to(dd64, (J, ms.r, n))).astype(U64)
+
+    e = jnp.stack([gauss(n), gauss(5 * n)], axis=1)        # (J, 2, r, n)
+    return u, e

@@ -147,6 +147,43 @@ def test_gaussian_pinned_vs_f32_pipeline():
     np.testing.assert_array_equal(a2, c2)
 
 
+def test_keystream_batch_matches_single():
+    """Each row of the batched keystream equals the single-nonce stream
+    (xla impl; the pallas grid is covered by the interpret variant)."""
+    nonces = jnp.asarray([0, 1, 2**40 + 7], jnp.uint64)
+    got = np.asarray(salsa20.keystream_block_words_batch(
+        70, nonces, impl="xla"))
+    for j, nn in enumerate([0, 1, 2**40 + 7]):
+        exp = np.asarray(salsa20.keystream_block_words(70, nonce=nn,
+                                                       impl="xla"))
+        np.testing.assert_array_equal(got[j], exp)
+
+
+def test_keystream_batch_pallas_interpret():
+    nonces = jnp.asarray([3, 5], jnp.uint64)
+    got = np.asarray(salsa20.keystream_block_words_batch(
+        64, nonces, impl="pallas-interpret"))
+    exp = np.asarray(salsa20.keystream_block_words_batch(
+        64, nonces, impl="xla"))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_encrypt_draws_batch_matches_single():
+    """Row j of encrypt_draws_batch == encrypt_draws(nonce=nonces[j])."""
+    p = get_bfv_params("4k_3q")
+    ms = modmath.modulus_set(p)
+    nonces = [1, 2, 2**50 + 3]
+    u_b, e_b = sampling.encrypt_draws_batch(
+        p.n, p.r, ms, jnp.asarray(nonces, jnp.uint64), ks_impl="xla")
+    assert u_b.shape == (3, p.r, p.n) and e_b.shape == (3, 2, p.r, p.n)
+    for j, nn in enumerate(nonces):
+        u, e0, e1 = sampling.encrypt_draws(p.n, p.r, ms, nonce=nn,
+                                           ks_impl="xla")
+        np.testing.assert_array_equal(np.asarray(u_b[j]), np.asarray(u))
+        np.testing.assert_array_equal(np.asarray(e_b[j, 0]), np.asarray(e0))
+        np.testing.assert_array_equal(np.asarray(e_b[j, 1]), np.asarray(e1))
+
+
 def test_keygen_draw_layout():
     """Byte-consumption layout equals the reference's offsets
     (bfv_keygen.cuh:120-122)."""
