@@ -240,6 +240,84 @@ def half_polymul(x, y_ntt, ftab, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# encrypt_front: c_h = INTT(NTT(u) (.) pk_h) for both halves, one kernel
+# ---------------------------------------------------------------------------
+
+def _make_enc_front_kernel(n1: int, interpret: bool):
+    def kernel(qc_ref, ul_ref, uh_ref, p0l_ref, p0h_ref, p1l_ref, p1h_ref,
+               ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
+               c0l_ref, c0h_ref, c1l_ref, c1h_ref):
+        mi = pl.program_id(0)
+        q, two_q, four_q, qinv = _qvals(qc_ref, mi)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        un = _fwd_chain((ul_ref[0], uh_ref[0]), ta_ref, tc_ref, tb_ref,
+                        q, two_q, four_q, n1, row, lane, interpret)
+        c0 = _inv_mul_chain(un, (p0l_ref[0], p0h_ref[0]), tai_ref, tcir_ref,
+                            tbi_ref, q, two_q, four_q, qinv, n1, row, lane,
+                            interpret)
+        c0l_ref[0] = c0[0]
+        c0h_ref[0] = c0[1]
+        c1 = _inv_mul_chain(un, (p1l_ref[0], p1h_ref[0]), tai_ref, tcir_ref,
+                            tbi_ref, q, two_q, four_q, qinv, n1, row, lane,
+                            interpret)
+        c1l_ref[0] = c1[0]
+        c1h_ref[0] = c1[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encrypt_front(u, pk, ftab, interpret: bool = False):
+    """(r, n) coefficient-domain u, (2, r, n) NTT-domain pk ->
+    (2, r, n) c with c[h] = INTT(NTT(u) (.) pk[h]) — encryption's whole
+    transform front (bfv_encryption.cuh:247-266, with NTT(u) computed
+    once) in one twiddle-resident kernel.  Used by the SPMD pipelines,
+    whose tail needs the cross-shard ra psum between this and
+    encrypt_tail."""
+    r, n = u.shape
+    n1 = n // N2
+    LA = (n1.bit_length() - 1) * n1
+    ul, uh = limb32.to_pair(u.reshape(r, n1, N2))
+    p0l, p0h = limb32.to_pair(pk[0].reshape(r, n1, N2))
+    p1l, p1h = limb32.to_pair(pk[1].reshape(r, n1, N2))
+
+    z = np.int32(0)
+    dmap = lambda m, qc: (m, z, z)
+    tmap = lambda m, qc: (m, z, z, z)
+    bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    ts = lambda rows, im: pl.BlockSpec((1, 4, rows, N2), im,
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r,),
+        in_specs=[bs(dmap), bs(dmap),
+                  bs(dmap), bs(dmap),
+                  bs(dmap), bs(dmap),
+                  ts(LA, tmap), ts(n1, tmap), ts(8, tmap),
+                  ts(LA, tmap), ts(n1, tmap), ts(8, tmap)],
+        out_specs=[bs(dmap)] * 4,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    c0l, c0h, c1l, c1h = pl.pallas_call(
+        _make_enc_front_kernel(n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((r, n1, N2), jnp.uint32)] * 4,
+        interpret=interpret,
+        **kwargs,
+    )(ftab.qconst, ul, uh, p0l, p0h, p1l, p1h,
+      ftab.ta, ftab.tc, ftab.tb, ftab.tai, ftab.tcir, ftab.tbi)
+    if interpret:
+        c0l, c0h, c1l, c1h = jax.lax.optimization_barrier(
+            (c0l, c0h, c1l, c1h))
+    c0 = limb32.from_pair((c0l, c0h)).reshape(r, n)
+    c1 = limb32.from_pair((c1l, c1h)).reshape(r, n)
+    return jnp.stack([c0, c1])
+
+
+# ---------------------------------------------------------------------------
 # encrypt_fused (whole op, J-batched)
 # ---------------------------------------------------------------------------
 

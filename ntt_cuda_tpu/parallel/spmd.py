@@ -33,7 +33,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import bfv_tail, modmath, ntt_pallas, salsa20, sampling
+from ..ops import bfv_tail, fused_ops, modmath, ntt_pallas, \
+    salsa20, sampling
 from ..params import BFVParams
 
 U64 = jnp.uint64
@@ -142,10 +143,10 @@ class SpmdBFVContext:
                 n // 16, nonce=nonce_, counter0=(n + 8 * r * n) // 64,
                 impl=ksi)
             e = sampling.gaussian(salsa20.block_words_u32(bw_e, 0, n), ms)
-            sk = ntt_pallas.ntt_forward(s, ftab, interpret=interp)
-            pk0 = ntt_pallas.ntt_inverse_mul(a, sk, ftab, interpret=interp)
-            pk0 = ntt_pallas.ntt_forward_addneg(pk0, e, ftab,
-                                                interpret=interp)
+            # whole post-draw pipeline: one twiddle-resident kernel on
+            # the shard's local moduli (ops/fused_ops.py)
+            sk, pk0 = fused_ops.keygen_fused(s, a, e, ftab,
+                                             interpret=interp)
             return sk, jnp.stack([pk0, a])
 
         fn = shard_map(kg, mesh=self.mesh,
@@ -191,10 +192,9 @@ class SpmdBFVContext:
             u = sampling.ternary(salsa20.block_words_u8(bw, 0, n), ms)
             e0 = sampling.gaussian(salsa20.block_words_u32(bw, n, n), ms)
             e1 = sampling.gaussian(salsa20.block_words_u32(bw, 5 * n, n), ms)
-            # NTT(u) once — both ciphertext halves hold the same u
-            un = ntt_pallas.ntt_forward(u, ftab, interpret=interp)
-            c = jnp.broadcast_to(un, (2,) + un.shape)
-            c = ntt_pallas.ntt_inverse_mul(c, pkk, ftab, interpret=interp)
+            # whole transform front (NTT(u) once, both halves' inverse
+            # dyadic) as one twiddle-resident kernel
+            c = fused_ops.encrypt_front(u, pkk, ftab, interpret=interp)
             e = jnp.stack([e0, e1])
             # adjusted last residue, owner shard -> everyone (one psum)
             ql = U64(q_last)
@@ -238,8 +238,8 @@ class SpmdBFVContext:
         ms_spec, ftab_spec, _, dec_spec = self._specs()
 
         def dec(skk, ctt, ms, ftab, dc):
-            x = ntt_pallas.ntt_forward(ctt[1], ftab, interpret=interp)
-            x = ntt_pallas.ntt_inverse_mul(x, skk, ftab, interpret=interp)
+            x = fused_ops.half_polymul(ctt[1], skk, ftab,
+                                       interpret=interp)
             xt, xg = bfv_tail.decrypt_tail_partial(x, ctt[0], dc,
                                                    interpret=interp)
             # split-halves psum: overflow-safe for any rns shard count
