@@ -68,6 +68,20 @@ def test_half_polymul_batched(p4k, ftab4k, rng):
         np.testing.assert_array_equal(np.asarray(got[j]), np.asarray(ref))
 
 
+def test_encrypt_front_bitexact(p4k, ftab4k, rng):
+    """encrypt_front == NTT(u) broadcast + ntt_inverse_mul per half."""
+    p = p4k
+    n = p.n
+    ms = modmath.modulus_set(p)
+    u, _, _ = sampling.encrypt_draws(n, p.r, ms, nonce=3, ks_impl="xla")
+    pk = jnp.stack([_rand_res(rng, p.q, n), _rand_res(rng, p.q, n)])
+    un = ntt_pallas.ntt_forward(u, ftab4k, interpret=True)
+    ref = ntt_pallas.ntt_inverse_mul(
+        jnp.broadcast_to(un, (2,) + un.shape), pk, ftab4k, interpret=True)
+    got = fused_ops.encrypt_front(u, pk, ftab4k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_encrypt_fused_bitexact(p4k, ftab4k, rng):
     p = p4k
     n, r = p.n, p.r
