@@ -285,14 +285,17 @@ class BFVContext:
 def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str,
                 uniform_spec: str = "int", fusion: str = "op"):
     """keygen_rns (bfv_keygen.cuh:95-151)."""
-    s, a, e = sampling.keygen_draws(
-        n, r, ms, nonce=nonce, uniform_spec=uniform_spec,
-        ks_impl="pallas" if backend == "pallas" else "xla")
+    ks = "pallas" if backend == "pallas" else "xla"
     if backend != "xla" and fusion == "op":
-        # whole post-draw pipeline in one twiddle-resident kernel
+        # whole post-draw pipeline in one twiddle-resident kernel, draws
+        # in compact form (residue broadcasts happen in-kernel)
+        s_b, a, e_d = sampling.keygen_draws_compact(
+            n, r, ms, nonce=nonce, uniform_spec=uniform_spec, ks_impl=ks)
         sk, pk0 = fused_ops.keygen_fused(
-            s, a, e, ftab, interpret=(backend == "pallas-interpret"))
+            s_b, a, e_d, ftab, interpret=(backend == "pallas-interpret"))
         return sk, jnp.stack([pk0, a])
+    s, a, e = sampling.keygen_draws(
+        n, r, ms, nonce=nonce, uniform_spec=uniform_spec, ks_impl=ks)
     sk = _fwd(s, tables, ftab, ms, backend)             # s kept in NTT domain
     pk0 = _inv_mul(a, sk, tables, ftab, ms, backend)    # INTT(a (.) s-hat)
     pk0 = _fwd_addneg(pk0, e, tables, ftab, ms, backend)   # NTT(-(a*s + e))
@@ -311,14 +314,17 @@ def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
     (r forwards) and broadcast into the dyadic against both pk halves:
     identical values, 25% fewer transforms per encryption."""
     interp = backend == "pallas-interpret"
-    u, e0, e1 = sampling.encrypt_draws(
-        n, r, ms_full, nonce=nonce,
-        ks_impl="pallas" if backend == "pallas" else "xla")
-    e = jnp.stack([e0, e1])
+    ks = "pallas" if backend == "pallas" else "xla"
     if backend != "xla" and fusion == "op":
-        # the ENTIRE op after the draws is one twiddle-resident kernel
-        return fused_ops.encrypt_fused(u, pk, e, m_poly.astype(U64),
+        # the ENTIRE op after the draws is one twiddle-resident kernel;
+        # draws stay compact (i32 planes), residues expand in-kernel
+        u_b, e_d = sampling.encrypt_draws_compact(n, nonce=nonce,
+                                                  ks_impl=ks)
+        return fused_ops.encrypt_fused(u_b, pk, e_d, m_poly.astype(U64),
                                        ftab, tail_consts, interpret=interp)
+    u, e0, e1 = sampling.encrypt_draws(n, r, ms_full, nonce=nonce,
+                                       ks_impl=ks)
+    e = jnp.stack([e0, e1])
     u_ntt = _fwd(u, tables, ftab, ms_full, backend)     # (r, n), once
     if backend == "xla":
         c = jnp.broadcast_to(u_ntt, (2, r, n))
@@ -342,12 +348,14 @@ def _encrypt_batch_jit(nonces, pk, m_batch, ms_full, ms_drop, ms_last,
     batched kernel (salsa20.keystream_block_words_batch) and the compute
     as one J-batched kernel sweep on the pallas backends."""
     ks = "pallas" if backend == "pallas" else "xla"
-    u, e = sampling.encrypt_draws_batch(n, r, ms_full, nonces, ks_impl=ks)
     if backend != "xla" and fusion == "op":
-        return fused_ops.encrypt_fused(u, pk, e, m_batch.astype(U64),
+        u_b, e_d = sampling.encrypt_draws_compact_batch(n, nonces,
+                                                        ks_impl=ks)
+        return fused_ops.encrypt_fused(u_b, pk, e_d, m_batch.astype(U64),
                                        ftab, tail_consts,
                                        interpret=(backend ==
                                                   "pallas-interpret"))
+    u, e = sampling.encrypt_draws_batch(n, r, ms_full, nonces, ks_impl=ks)
     outs = [_encrypt_one_drawn(u[j], e[j], pk, m_batch[j], ms_full, ms_drop,
                                ms_last, tables, ftab, dr_consts, msg_consts,
                                tail_consts, n, r, backend)

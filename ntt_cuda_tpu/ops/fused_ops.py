@@ -87,21 +87,43 @@ def _add_negate(x, e, q):
     return limb32.select64(is_q, (zero, zero), r)
 
 
+def _ternary_res(b, q):
+    """Compact ternary i32 b in {-1, 0, 1, 2} -> u64 limb-pair residue
+    (b < 0 -> q + b; sampling.ternary semantics).  q odd => q_lo >= 1,
+    so q - 1 never borrows."""
+    neg = b < jnp.int32(0)
+    lo = jnp.where(neg, q[0] - U32(1), b.astype(U32))
+    hi = jnp.where(neg, q[1], jnp.zeros_like(b, U32))
+    return lo, hi
+
+
+def _gauss_res(d, q):
+    """Compact Gaussian i32 d in [-19, 16] -> u64 limb-pair residue
+    (d < 0 -> q + d; sampling.gaussian semantics)."""
+    neg = d < jnp.int32(0)
+    mag = jnp.where(neg, -d, d).astype(U32)
+    qm = limb32.sub64(q, (mag, jnp.zeros_like(mag)))
+    lo = jnp.where(neg, qm[0], mag)
+    hi = jnp.where(neg, qm[1], jnp.zeros_like(mag))
+    return lo, hi
+
+
 # ---------------------------------------------------------------------------
 # keygen_fused
 # ---------------------------------------------------------------------------
 
 def _make_keygen_kernel(n1: int, interpret: bool):
-    def kernel(qc_ref, sl_ref, sh_ref, al_ref, ah_ref, el_ref, eh_ref,
+    def kernel(qc_ref, sb_ref, al_ref, ah_ref, ed_ref,
                ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
                skl_ref, skh_ref, p0l_ref, p0h_ref):
         mi = pl.program_id(0)
         q, two_q, four_q, qinv = _qvals(qc_ref, mi)
         lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
         row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
-        # sk = NTT(s), kept in the NTT domain (bfv_keygen.cuh:129)
-        sk = _fwd_chain((sl_ref[0], sh_ref[0]), ta_ref, tc_ref, tb_ref,
-                        q, two_q, four_q, n1, row, lane, interpret)
+        # sk = NTT(s), s expanded from the COMPACT ternary plane in-kernel
+        # (bfv_keygen.cuh:129; one i32 plane instead of (r, n) u64 in HBM)
+        sk = _fwd_chain(_ternary_res(sb_ref[...], q), ta_ref, tc_ref,
+                        tb_ref, q, two_q, four_q, n1, row, lane, interpret)
         skl_ref[0] = sk[0]
         skh_ref[0] = sk[1]
         # INTT(a (.) sk) (bfv_keygen.cuh:132-133)
@@ -109,7 +131,7 @@ def _make_keygen_kernel(n1: int, interpret: bool):
                            tbi_ref, q, two_q, four_q, qinv, n1, row, lane,
                            interpret)
         # pk0 = NTT(-(a*s + e)) (bfv_keygen.cuh:144-145)
-        x = _add_negate(x, (el_ref[0], eh_ref[0]), q)
+        x = _add_negate(x, _gauss_res(ed_ref[...], q), q)
         pk0 = _fwd_chain(x, ta_ref, tc_ref, tb_ref, q, two_q, four_q, n1,
                          row, lane, interpret)
         p0l_ref[0] = pk0[0]
@@ -118,29 +140,34 @@ def _make_keygen_kernel(n1: int, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def keygen_fused(s, a, e, ftab, interpret: bool = False):
-    """(r, n) coefficient-domain s, NTT-domain a, coefficient-domain e ->
-    (sk, pk0), both (r, n) NTT-domain.  Bit-identical to
-    ntt_forward(s), ntt_inverse_mul(a, sk), ntt_forward_addneg(., e)."""
-    r, n = s.shape
+def keygen_fused(s_b, a, e_d, ftab, interpret: bool = False):
+    """Compact (n,) i32 ternary s_b, (r, n) u64 NTT-domain a, compact
+    (n,) i32 Gaussian e_d -> (sk, pk0), both (r, n) NTT-domain.
+    Bit-identical to ntt_forward(ternary-res s), ntt_inverse_mul(a, sk),
+    ntt_forward_addneg(., gaussian-res e); the residue broadcasts
+    (sampling.ternary/gaussian) happen in-kernel from the shared compact
+    planes."""
+    r, n = a.shape
     n1 = n // N2
     LA = (n1.bit_length() - 1) * n1
-    sl, sh = limb32.to_pair(s.reshape(r, n1, N2))
+    sb = s_b.reshape(n1, N2)
     al, ah = limb32.to_pair(a.reshape(r, n1, N2))
-    el, eh = limb32.to_pair(e.reshape(r, n1, N2))
+    ed = e_d.reshape(n1, N2)
 
     z = np.int32(0)
     dmap = lambda m, qc: (m, z, z)
+    cmap = lambda m, qc: (z, z)
     tmap = lambda m, qc: (m, z, z, z)
     bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((n1, N2), cmap, memory_space=pltpu.VMEM)
     ts = lambda rows, im: pl.BlockSpec((1, 4, rows, N2), im,
                                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # qconst
         grid=(r,),
-        in_specs=[bs(dmap), bs(dmap),          # s
+        in_specs=[cs,                          # s (compact)
                   bs(dmap), bs(dmap),          # a
-                  bs(dmap), bs(dmap),          # e
+                  cs,                          # e (compact)
                   ts(LA, tmap), ts(n1, tmap), ts(8, tmap),     # fwd tables
                   ts(LA, tmap), ts(n1, tmap), ts(8, tmap)],    # inv tables
         out_specs=[bs(dmap), bs(dmap),         # sk
@@ -156,7 +183,7 @@ def keygen_fused(s, a, e, ftab, interpret: bool = False):
         out_shape=[jax.ShapeDtypeStruct((r, n1, N2), jnp.uint32)] * 4,
         interpret=interpret,
         **kwargs,
-    )(ftab.qconst, sl, sh, al, ah, el, eh,
+    )(ftab.qconst, sb, al, ah, ed,
       ftab.ta, ftab.tc, ftab.tb, ftab.tai, ftab.tcir, ftab.tbi)
     if interpret:
         skl, skh, p0l, p0h = jax.lax.optimization_barrier(
@@ -244,15 +271,15 @@ def half_polymul(x, y_ntt, ftab, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _make_enc_front_kernel(n1: int, interpret: bool):
-    def kernel(qc_ref, ul_ref, uh_ref, p0l_ref, p0h_ref, p1l_ref, p1h_ref,
+    def kernel(qc_ref, ub_ref, p0l_ref, p0h_ref, p1l_ref, p1h_ref,
                ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
                c0l_ref, c0h_ref, c1l_ref, c1h_ref):
         mi = pl.program_id(0)
         q, two_q, four_q, qinv = _qvals(qc_ref, mi)
         lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
         row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
-        un = _fwd_chain((ul_ref[0], uh_ref[0]), ta_ref, tc_ref, tb_ref,
-                        q, two_q, four_q, n1, row, lane, interpret)
+        un = _fwd_chain(_ternary_res(ub_ref[...], q), ta_ref, tc_ref,
+                        tb_ref, q, two_q, four_q, n1, row, lane, interpret)
         c0 = _inv_mul_chain(un, (p0l_ref[0], p0h_ref[0]), tai_ref, tcir_ref,
                             tbi_ref, q, two_q, four_q, qinv, n1, row, lane,
                             interpret)
@@ -267,30 +294,32 @@ def _make_enc_front_kernel(n1: int, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def encrypt_front(u, pk, ftab, interpret: bool = False):
-    """(r, n) coefficient-domain u, (2, r, n) NTT-domain pk ->
+def encrypt_front(u_b, pk, ftab, interpret: bool = False):
+    """Compact (n,) i32 ternary u_b, (2, r, n) NTT-domain pk ->
     (2, r, n) c with c[h] = INTT(NTT(u) (.) pk[h]) — encryption's whole
     transform front (bfv_encryption.cuh:247-266, with NTT(u) computed
-    once) in one twiddle-resident kernel.  Used by the SPMD pipelines,
-    whose tail needs the cross-shard ra psum between this and
-    encrypt_tail."""
-    r, n = u.shape
+    once and u expanded from the compact plane in-kernel) in one
+    twiddle-resident kernel.  Used by the SPMD pipelines, whose tail
+    needs the cross-shard ra psum between this and encrypt_tail."""
+    _, r, n = pk.shape
     n1 = n // N2
     LA = (n1.bit_length() - 1) * n1
-    ul, uh = limb32.to_pair(u.reshape(r, n1, N2))
+    ub = u_b.reshape(n1, N2)
     p0l, p0h = limb32.to_pair(pk[0].reshape(r, n1, N2))
     p1l, p1h = limb32.to_pair(pk[1].reshape(r, n1, N2))
 
     z = np.int32(0)
     dmap = lambda m, qc: (m, z, z)
+    cmap = lambda m, qc: (z, z)
     tmap = lambda m, qc: (m, z, z, z)
     bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((n1, N2), cmap, memory_space=pltpu.VMEM)
     ts = lambda rows, im: pl.BlockSpec((1, 4, rows, N2), im,
                                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r,),
-        in_specs=[bs(dmap), bs(dmap),
+        in_specs=[cs,
                   bs(dmap), bs(dmap),
                   bs(dmap), bs(dmap),
                   ts(LA, tmap), ts(n1, tmap), ts(8, tmap),
@@ -307,7 +336,7 @@ def encrypt_front(u, pk, ftab, interpret: bool = False):
         out_shape=[jax.ShapeDtypeStruct((r, n1, N2), jnp.uint32)] * 4,
         interpret=interpret,
         **kwargs,
-    )(ftab.qconst, ul, uh, p0l, p0h, p1l, p1h,
+    )(ftab.qconst, ub, p0l, p0h, p1l, p1h,
       ftab.ta, ftab.tc, ftab.tb, ftab.tai, ftab.tcir, ftab.tbi)
     if interpret:
         c0l, c0h, c1l, c1h = jax.lax.optimization_barrier(
@@ -328,8 +357,8 @@ def _make_enc_kernel(log2t: int, r: int, n1: int, interpret: bool):
     computed at h == 0 and reused from scratch at h == 1."""
     rr = np.int32(r)
 
-    def kernel(pm_ref, gl_ref, qc_ref, ul_ref, uh_ref, pkl_ref, pkh_ref,
-               el_ref, eh_ref, ml_ref, mh_ref,
+    def kernel(pm_ref, gl_ref, qc_ref, ub_ref, pkl_ref, pkh_ref,
+               ed_ref, ml_ref, mh_ref,
                ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
                o0l_ref, o0h_ref, o1l_ref, o1h_ref,
                un_l, un_h, ra_l, ra_h):
@@ -342,11 +371,13 @@ def _make_enc_kernel(log2t: int, r: int, n1: int, interpret: bool):
         row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
 
         # u_ntt once per (modulus, message) — the reference's 2r-forward
-        # batch transforms the same u twice (bfv_encryption.cuh:268)
+        # batch transforms the same u twice (bfv_encryption.cuh:268); u
+        # expands from the COMPACT ternary plane in-kernel
         @pl.when(h == 0)
         def _fwd_u():
-            x = _fwd_chain((ul_ref[0], uh_ref[0]), ta_ref, tc_ref, tb_ref,
-                           qq, two_q, four_q, n1, row, lane, interpret)
+            x = _fwd_chain(_ternary_res(ub_ref[0], qq), ta_ref, tc_ref,
+                           tb_ref, qq, two_q, four_q, n1, row, lane,
+                           interpret)
             un_l[...] = x[0]
             un_h[...] = x[1]
 
@@ -354,8 +385,9 @@ def _make_enc_kernel(log2t: int, r: int, n1: int, interpret: bool):
         x = _inv_mul_chain((un_l[...], un_h[...]), (pkl_ref[0], pkh_ref[0]),
                            tai_ref, tcir_ref, tbi_ref, qq, two_q, four_q,
                            qinv, n1, row, lane, interpret)
-        # c += e (strict `>` quirk, poly_add_xq)
-        s = limb32.add64(x, (el_ref[0], eh_ref[0]))
+        # c += e (strict `>` quirk, poly_add_xq); e expands from the
+        # compact Gaussian plane in-kernel
+        s = limb32.add64(x, _gauss_res(ed_ref[0], qq))
         s = limb32.cond_sub64(s, qq, limb32.gt64(s, qq))
 
         q_last = (gl_ref[0], gl_ref[1])
@@ -411,33 +443,36 @@ def _make_enc_kernel(log2t: int, r: int, n1: int, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def encrypt_fused(u, pk, e, m_poly, ftab, consts: TailConsts,
+def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
                   interpret: bool = False):
     """The whole encryption after the draws, J-batched, in ONE kernel.
 
-    u (J, r, n) coefficient-domain ternary draws, pk (2, r, n) NTT-domain,
-    e (J, 2, r, n) errors, m_poly (J, n) messages -> (J, 2, r-1, n)
-    ciphertexts.  Bit-identical to [per message] ntt_forward(u),
-    ntt_inverse_mul(broadcast, pk), encrypt_tail.  Leading J dims may be
-    omitted for a single message."""
-    single = u.ndim == 2
+    u_b (J, n) COMPACT i32 ternary draws, pk (2, r, n) NTT-domain,
+    e_d (J, 2, n) compact i32 Gaussian draws, m_poly (J, n) messages ->
+    (J, 2, r-1, n) ciphertexts.  Bit-identical to [per message]
+    ntt_forward(ternary-res u), ntt_inverse_mul(broadcast, pk),
+    encrypt_tail with gaussian-res e — the residue broadcasts happen
+    in-kernel, so no (r, n) u64 draw tensor ever reaches HBM.  Leading J
+    dims may be omitted for a single message."""
+    single = u_b.ndim == 1
     if single:
-        u, e, m_poly = u[None], e[None], m_poly[None]
-    J, r, n = u.shape
+        u_b, e_d, m_poly = u_b[None], e_d[None], m_poly[None]
+    J, n = u_b.shape
+    r = pk.shape[1]
     n1 = n // N2
     LA = (n1.bit_length() - 1) * n1
-    ul, uh = limb32.to_pair(u.reshape(J * r, n1, N2))
+    ub = u_b.reshape(J, n1, N2)
     pkl, pkh = limb32.to_pair(pk.reshape(2 * r, n1, N2))
-    el, eh = limb32.to_pair(e.reshape(J * 2 * r, n1, N2))
+    ed = e_d.reshape(J * 2, n1, N2)
     ml, mh = limb32.to_pair(m_poly.reshape(J, n1, N2))
 
     z = np.int32(0)
     rr = np.int32(r)
     rk = np.int32(r - 1)
     res = lambda m: jnp.where(m == 0, rr - 1, m - 1)
-    umap = lambda m, j, h, pm, gl, qc: (j * rr + res(m), z, z)
+    umap = lambda m, j, h, pm, gl, qc: (j, z, z)
     pmap = lambda m, j, h, pm, gl, qc: (h * rr + res(m), z, z)
-    emap = lambda m, j, h, pm, gl, qc: ((j * 2 + h) * rr + res(m), z, z)
+    emap = lambda m, j, h, pm, gl, qc: (j * np.int32(2) + h, z, z)
     mmap = lambda m, j, h, pm, gl, qc: (j, z, z)
     # m-independent parking: the m=0 steps keep index 0 resident, which
     # the m=1 write then overwrites in VMEM (no garbage flush to HBM)
@@ -450,9 +485,9 @@ def encrypt_fused(u, pk, e, m_poly, ftab, consts: TailConsts,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # per_mod (r-1 rows), glob, qconst
         grid=(r, J, 2),
-        in_specs=[bs(umap), bs(umap),
+        in_specs=[bs(umap),                    # u (compact i32)
                   bs(pmap), bs(pmap),
-                  bs(emap), bs(emap),
+                  bs(emap),                    # e (compact i32)
                   bs(mmap), bs(mmap),
                   ts(LA, tmap), ts(n1, tmap), ts(8, tmap),
                   ts(LA, tmap), ts(n1, tmap), ts(8, tmap)],
@@ -471,7 +506,7 @@ def encrypt_fused(u, pk, e, m_poly, ftab, consts: TailConsts,
                                         jnp.uint32)] * 4,
         interpret=interpret,
         **kwargs,
-    )(consts.per_mod, consts.glob, ftab.qconst, ul, uh, pkl, pkh, el, eh,
+    )(consts.per_mod, consts.glob, ftab.qconst, ub, pkl, pkh, ed,
       ml, mh, ftab.ta, ftab.tc, ftab.tb, ftab.tai, ftab.tcir, ftab.tbi)
     if interpret:
         o0l, o0h, o1l, o1h = jax.lax.optimization_barrier(

@@ -363,6 +363,65 @@ def encrypt_draws(n: int, r: int, ms: modmath.ModulusSet,
     return u, e0, e1
 
 
+def ternary_int(bytes_u8: jax.Array) -> jax.Array:
+    """(..., n) bytes -> (..., n) int32 ternary values in {-1, 0, 1, 2}
+    (byte-255 quirk included) — the COMPACT form: the per-modulus residue
+    mapping (b < 0 -> q + b) happens inside the consuming fused kernel,
+    so the (r, n) u64 residue tensor is never materialized in HBM."""
+    return (bytes_u8.astype(jnp.int32) // 85) - jnp.int32(1)
+
+
+def keygen_draws_compact(n: int, r: int, ms: modmath.ModulusSet,
+                         key_byte: int = salsa20.DEFAULT_KEY_BYTE, nonce=0,
+                         uniform_spec: str = "int",
+                         ks_impl: str | None = None):
+    """keygen_draws in compact form: (s_b (n,) i32, a (r, n) u64 residues,
+    e_d (n,) i32).  Same keystream bytes and layout; s/e residue mapping
+    deferred to the fused kernel (ternary_int/gaussian_int docstrings)."""
+    nbytes = keygen_entropy_bytes(n, r)
+    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
+                                       key_byte=key_byte,
+                                       nonce=keygen_nonce(nonce),
+                                       impl=ks_impl)
+    s_b = ternary_int(salsa20.block_words_u8(bw, 0, n))
+    ufn = uniform_ref if uniform_spec == "fp64" else uniform
+    a = ufn(salsa20.block_words_u64(bw, n, r * n).reshape(r, n), ms)
+    e_d = gaussian_int(salsa20.block_words_u32(bw, n + 8 * r * n, n))
+    return s_b, a, e_d
+
+
+def encrypt_draws_compact(n: int,
+                          key_byte: int = salsa20.DEFAULT_KEY_BYTE,
+                          nonce=0, ks_impl: str | None = None):
+    """encrypt_draws in compact form: (u_b (n,) i32, e_d (2, n) i32)."""
+    nbytes = encrypt_entropy_bytes(n)
+    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
+                                       key_byte=key_byte,
+                                       nonce=encrypt_nonce(nonce),
+                                       impl=ks_impl)
+    u_b = ternary_int(salsa20.block_words_u8(bw, 0, n))
+    e_d = jnp.stack([gaussian_int(salsa20.block_words_u32(bw, n, n)),
+                     gaussian_int(salsa20.block_words_u32(bw, 5 * n, n))])
+    return u_b, e_d
+
+
+def encrypt_draws_compact_batch(n: int, nonces: jax.Array,
+                                key_byte: int = salsa20.DEFAULT_KEY_BYTE,
+                                ks_impl: str | None = None):
+    """Batched compact encrypt draws: (J,) nonces ->
+    (u_b (J, n) i32, e_d (J, 2, n) i32), one keystream kernel."""
+    nbytes = encrypt_entropy_bytes(n)
+    bw = salsa20.keystream_block_words_batch(
+        (nbytes + 63) // 64, encrypt_nonce(nonces), key_byte=key_byte,
+        impl=ks_impl)
+    u_b = ternary_int(salsa20.block_words_u8_batch(bw, 0, n))
+    e_d = jnp.stack([gaussian_int(salsa20.block_words_u32_batch(bw, n, n)),
+                     gaussian_int(salsa20.block_words_u32_batch(bw, 5 * n,
+                                                                n))],
+                    axis=1)
+    return u_b, e_d
+
+
 def encrypt_draws_batch(n: int, r: int, ms: modmath.ModulusSet,
                         nonces: jax.Array,
                         key_byte: int = salsa20.DEFAULT_KEY_BYTE,

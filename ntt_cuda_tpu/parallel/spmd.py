@@ -133,7 +133,8 @@ class SpmdBFVContext:
             idx = jax.lax.axis_index("rns")
             bw_s = salsa20.keystream_block_words(n // 64, nonce=nonce_,
                                                  impl=ksi)
-            s = sampling.ternary(salsa20.block_words_u8(bw_s, 0, n), ms)
+            s_b = sampling.ternary_int(salsa20.block_words_u8(bw_s, 0,
+                                                              n))
             c0a = n // 64 + idx.astype(U64) * U64(rl * n // 8)
             bw_a = salsa20.keystream_block_words(rl * n // 8, nonce=nonce_,
                                                  counter0=c0a, impl=ksi)
@@ -142,10 +143,12 @@ class SpmdBFVContext:
             bw_e = salsa20.keystream_block_words(
                 n // 16, nonce=nonce_, counter0=(n + 8 * r * n) // 64,
                 impl=ksi)
-            e = sampling.gaussian(salsa20.block_words_u32(bw_e, 0, n), ms)
+            e_d = sampling.gaussian_int(
+                salsa20.block_words_u32(bw_e, 0, n))
             # whole post-draw pipeline: one twiddle-resident kernel on
-            # the shard's local moduli (ops/fused_ops.py)
-            sk, pk0 = fused_ops.keygen_fused(s, a, e, ftab,
+            # the shard's local moduli, compact draws expanded in-kernel
+            # (ops/fused_ops.py)
+            sk, pk0 = fused_ops.keygen_fused(s_b, a, e_d, ftab,
                                              interpret=interp)
             return sk, jnp.stack([pk0, a])
 
@@ -189,12 +192,12 @@ class SpmdBFVContext:
             bw = salsa20.keystream_block_words(
                 (sampling.encrypt_entropy_bytes(n) + 63) // 64, nonce=nonce_,
                 impl=ksi)
-            u = sampling.ternary(salsa20.block_words_u8(bw, 0, n), ms)
+            u_b = sampling.ternary_int(salsa20.block_words_u8(bw, 0, n))
             e0 = sampling.gaussian(salsa20.block_words_u32(bw, n, n), ms)
             e1 = sampling.gaussian(salsa20.block_words_u32(bw, 5 * n, n), ms)
             # whole transform front (NTT(u) once, both halves' inverse
-            # dyadic) as one twiddle-resident kernel
-            c = fused_ops.encrypt_front(u, pkk, ftab, interpret=interp)
+            # dyadic) as one twiddle-resident kernel; u stays compact
+            c = fused_ops.encrypt_front(u_b, pkk, ftab, interpret=interp)
             e = jnp.stack([e0, e1])
             # adjusted last residue, owner shard -> everyone (one psum)
             ql = U64(q_last)

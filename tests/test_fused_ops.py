@@ -35,12 +35,15 @@ def test_keygen_fused_bitexact(p4k, ftab4k, rng):
     n, r = p.n, p.r
     ms = modmath.modulus_set(p)
     s, a, e = sampling.keygen_draws(n, r, ms, nonce=0, ks_impl="xla")
+    s_b, a_c, e_d = sampling.keygen_draws_compact(n, r, ms, nonce=0,
+                                                  ks_impl="xla")
+    np.testing.assert_array_equal(np.asarray(a_c), np.asarray(a))
 
     sk_ref = ntt_pallas.ntt_forward(s, ftab4k, interpret=True)
     pk0_ref = ntt_pallas.ntt_inverse_mul(a, sk_ref, ftab4k, interpret=True)
     pk0_ref = ntt_pallas.ntt_forward_addneg(pk0_ref, e, ftab4k,
                                             interpret=True)
-    sk, pk0 = fused_ops.keygen_fused(s, a, e, ftab4k, interpret=True)
+    sk, pk0 = fused_ops.keygen_fused(s_b, a, e_d, ftab4k, interpret=True)
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(sk_ref))
     np.testing.assert_array_equal(np.asarray(pk0), np.asarray(pk0_ref))
 
@@ -74,11 +77,12 @@ def test_encrypt_front_bitexact(p4k, ftab4k, rng):
     n = p.n
     ms = modmath.modulus_set(p)
     u, _, _ = sampling.encrypt_draws(n, p.r, ms, nonce=3, ks_impl="xla")
+    u_b, _ = sampling.encrypt_draws_compact(n, nonce=3, ks_impl="xla")
     pk = jnp.stack([_rand_res(rng, p.q, n), _rand_res(rng, p.q, n)])
     un = ntt_pallas.ntt_forward(u, ftab4k, interpret=True)
     ref = ntt_pallas.ntt_inverse_mul(
         jnp.broadcast_to(un, (2,) + un.shape), pk, ftab4k, interpret=True)
-    got = fused_ops.encrypt_front(u, pk, ftab4k, interpret=True)
+    got = fused_ops.encrypt_front(u_b, pk, ftab4k, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
@@ -88,6 +92,7 @@ def test_encrypt_fused_bitexact(p4k, ftab4k, rng):
     ms = modmath.modulus_set(p)
     tc = bfv_tail.TailConsts.build(p)
     u, e0, e1 = sampling.encrypt_draws(n, r, ms, nonce=0, ks_impl="xla")
+    u_b, e_d = sampling.encrypt_draws_compact(n, nonce=0, ks_impl="xla")
     e = jnp.stack([e0, e1])
     pk = jnp.stack([_rand_res(rng, p.q, n), _rand_res(rng, p.q, n)])
     m = jnp.asarray(rng.integers(0, p.t, n, dtype=np.uint64))
@@ -95,7 +100,8 @@ def test_encrypt_fused_bitexact(p4k, ftab4k, rng):
     u_ntt = ntt_pallas.ntt_forward(u, ftab4k, interpret=True)
     ref = bfv_tail.encrypt_fused(u_ntt, pk, e, m, ftab4k, tc,
                                  interpret=True)
-    got = fused_ops.encrypt_fused(u, pk, e, m, ftab4k, tc, interpret=True)
+    got = fused_ops.encrypt_fused(u_b, pk, e_d, m, ftab4k, tc,
+                                  interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
@@ -108,14 +114,18 @@ def test_encrypt_fused_batched(p4k, ftab4k, rng):
     pk = jnp.stack([_rand_res(rng, p.q, n), _rand_res(rng, p.q, n)])
     us, es, msgs = [], [], []
     for nonce in (1, 2):
-        u, e0, e1 = sampling.encrypt_draws(n, r, ms, nonce=nonce,
-                                           ks_impl="xla")
-        us.append(u)
-        es.append(jnp.stack([e0, e1]))
+        u_b, e_d = sampling.encrypt_draws_compact(n, nonce=nonce,
+                                                  ks_impl="xla")
+        us.append(u_b)
+        es.append(e_d)
         msgs.append(jnp.asarray(rng.integers(0, p.t, n, dtype=np.uint64)))
     got = fused_ops.encrypt_fused(jnp.stack(us), pk, jnp.stack(es),
                                   jnp.stack(msgs), ftab4k, tc,
                                   interpret=True)
+    ub_b, ed_b = sampling.encrypt_draws_compact_batch(
+        n, jnp.asarray([1, 2], jnp.uint64), ks_impl="xla")
+    np.testing.assert_array_equal(np.asarray(ub_b), np.asarray(jnp.stack(us)))
+    np.testing.assert_array_equal(np.asarray(ed_b), np.asarray(jnp.stack(es)))
     for j in range(2):
         ref = fused_ops.encrypt_fused(us[j], pk, es[j], msgs[j], ftab4k,
                                       tc, interpret=True)
