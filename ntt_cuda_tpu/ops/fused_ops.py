@@ -28,6 +28,15 @@ the twiddle block resident:
   the next step overwrites in VMEM (the round-2 kernel flushed a
   garbage block to HBM and re-fetched it, VERDICT.md weak #8).
 
+Draws arrive in COMPACT form: the ternary and Gaussian samplers hand the
+kernels one shared i32 plane each (b in {-1,0,1,2}, d in [-19,16] —
+sampling.ternary_int/gaussian_int) and the per-modulus residue
+broadcasts (q+b / q+d, the reference's *_dist_xq expansion) happen
+in-kernel (`_ternary_res`/`_gauss_res`), so the (r, n) u64 draw tensors
+never exist in HBM: 2 u32 limb planes per modulus of input traffic
+become one i32 plane shared across the grid, and the XLA converter
+passes disappear.
+
 All kernels are bit-identical to the unfused pipelines (tested in
 tests/test_fused_ops.py) — same lazy-Shoup stage math (ops/ntt_pallas),
 same strict-`>` quirks (ops/bfv_tail).
