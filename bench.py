@@ -251,13 +251,20 @@ def bench_bfv(set_names):
             _log(f"[bench] over time budget, skipping {name}")
             continue
         p = get_bfv_params(name)
-        ctx = bfv.BFVContext.build(p)
         n, r = p.n, p.r
         m = jnp.asarray(np.arange(n, dtype=np.uint64) % p.t)
         q0 = jnp.uint64(p.q[0])
         t0 = time.perf_counter()
-        sk, pk = ctx.keygen()
-        ct = ctx.encrypt(pk, m)
+        try:
+            ctx = bfv.BFVContext.build(p)
+            sk, pk = ctx.keygen()
+            ct = ctx.encrypt(pk, m)
+        except Exception as exc:   # op-schedule compile failure: fall back
+            _log(f"[bench] {name}: op schedule failed ({exc!r:.200}); "
+                 "falling back to fusion='stage'")
+            ctx = bfv.BFVContext.build(p, fusion="stage")
+            sk, pk = ctx.keygen()
+            ct = ctx.encrypt(pk, m)
 
         @jax.jit
         def kg_step(seed, k):
@@ -323,15 +330,22 @@ def bench_bfv_batched(set_names, J=16):
             _log(f"[bench] over time budget, skipping batched {name}")
             continue
         p = get_bfv_params(name)
-        ctx = bfv.BFVContext.build(p)
         n, r = p.n, p.r
         t0 = time.perf_counter()
         m_batch = jnp.asarray(
             np.arange(J * n, dtype=np.uint64).reshape(J, n) % p.t)
         nonces0 = jnp.arange(1, J + 1, dtype=jnp.uint64)
         q0 = jnp.uint64(p.q[0])
-        sk, pk = ctx.keygen()
-        cts = ctx.encrypt_batch(pk, m_batch, nonces0)
+        try:
+            ctx = bfv.BFVContext.build(p)
+            sk, pk = ctx.keygen()
+            cts = ctx.encrypt_batch(pk, m_batch, nonces0)
+        except Exception as exc:
+            _log(f"[bench] batched {name}: op schedule failed "
+                 f"({exc!r:.200}); falling back to fusion='stage'")
+            ctx = bfv.BFVContext.build(p, fusion="stage")
+            sk, pk = ctx.keygen()
+            cts = ctx.encrypt_batch(pk, m_batch, nonces0)
 
         @jax.jit
         def enc_step(c, k):
