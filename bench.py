@@ -250,66 +250,75 @@ def bench_bfv(set_names):
         if _over_budget():
             _log(f"[bench] over time budget, skipping {name}")
             continue
-        p = get_bfv_params(name)
-        n, r = p.n, p.r
-        m = jnp.asarray(np.arange(n, dtype=np.uint64) % p.t)
-        q0 = jnp.uint64(p.q[0])
-        t0 = time.perf_counter()
         try:
-            ctx = bfv.BFVContext.build(p)
-            sk, pk = ctx.keygen()
-            ct = ctx.encrypt(pk, m)
-        except Exception as exc:   # op-schedule compile failure: fall back
-            _log(f"[bench] {name}: op schedule failed ({exc!r:.200}); "
-                 "falling back to fusion='stage'")
-            ctx = bfv.BFVContext.build(p, fusion="stage")
-            sk, pk = ctx.keygen()
-            ct = ctx.encrypt(pk, m)
-
-        @jax.jit
-        def kg_step(seed, k):
-            def body(_, s):
-                skk, pkk = ctx.keygen(nonce=s)
-                # consume sk AND pk: XLA DCEs 2 of keygen's 3 NTT batches
-                # otherwise
-                return skk[0, 0] + pkk[0, 0, 0] + pkk[1, 0, 0]
-            return jax.lax.fori_loop(0, k, body, seed)
-
-        @jax.jit
-        def enc_step(c, k):
-            def body(_, cc):
-                return ctx.encrypt(pk, m, nonce=cc[0, 0, 0])
-            return jax.lax.fori_loop(0, k, body, c)
-
-        @jax.jit
-        def dec_step(c, k):
-            def body(_, cc):
-                out = ctx.decrypt(sk, cc)
-                return cc.at[0, 0, 0].set((cc[0, 0, 0] + out[0]) % q0)
-            return jax.lax.fori_loop(0, k, body, c)
-
-        hi = max(64, (1 << 24) // (n * r))
-        lo = hi // 8
-        kw = dict(inner_lo=lo, inner_hi=hi, reps=3, epochs=3)
-        t_kg = profiling.time_chained_dynamic(kg_step, jnp.uint64(1), **kw)
-        t_enc = profiling.time_chained_dynamic(enc_step, ct, **kw)
-        t_dec = profiling.time_chained_dynamic(dec_step, ct, **kw)
-        b_kg, b_enc, b_dec = BASELINE_BFV_US[name]
-        if min(t_kg, t_enc, t_dec) <= 0:
-            _log(f"[bench] {name}: degenerate slope, skipping record")
-            continue
-        results[name] = {
-            "keygen_us": round(t_kg * 1e6, 2),
-            "encrypt_us": round(t_enc * 1e6, 2),
-            "decrypt_us": round(t_dec * 1e6, 2),
-            "keygen_vs_baseline": round(b_kg / (t_kg * 1e6), 3),
-            "encrypt_vs_baseline": round(b_enc / (t_enc * 1e6), 3),
-            "decrypt_vs_baseline": round(b_dec / (t_dec * 1e6), 3),
-        }
-        _log(f"[bench] {name}: kg {t_kg*1e6:.1f} enc {t_enc*1e6:.1f} "
-             f"dec {t_dec*1e6:.1f} us "
-             f"({time.perf_counter()-t0:.0f}s incl. compiles)")
+            results[name] = _bench_bfv_one(bfv, get_bfv_params, profiling,
+                                           jax, jnp, name)
+        except Exception as exc:   # never let one set kill the artifact
+            _log(f"[bench] {name}: failed ({exc!r:.300}); skipping set")
     return results
+
+
+def _bench_bfv_one(bfv, get_bfv_params, profiling, jax, jnp, name):
+    p = get_bfv_params(name)
+    n, r = p.n, p.r
+    m = jnp.asarray(np.arange(n, dtype=np.uint64) % p.t)
+    q0 = jnp.uint64(p.q[0])
+    t0 = time.perf_counter()
+    try:
+        ctx = bfv.BFVContext.build(p)
+        sk, pk = ctx.keygen()
+        ct = ctx.encrypt(pk, m)
+        jax.block_until_ready(ctx.decrypt(sk, ct))  # probe ALL op kernels
+    except Exception as exc:   # op-schedule compile failure: fall back
+        _log(f"[bench] {name}: op schedule failed ({exc!r:.200}); "
+             "falling back to fusion='stage'")
+        ctx = bfv.BFVContext.build(p, fusion="stage")
+        sk, pk = ctx.keygen()
+        ct = ctx.encrypt(pk, m)
+
+    @jax.jit
+    def kg_step(seed, k):
+        def body(_, s):
+            skk, pkk = ctx.keygen(nonce=s)
+            # consume sk AND pk: XLA DCEs 2 of keygen's 3 NTT batches
+            # otherwise
+            return skk[0, 0] + pkk[0, 0, 0] + pkk[1, 0, 0]
+        return jax.lax.fori_loop(0, k, body, seed)
+
+    @jax.jit
+    def enc_step(c, k):
+        def body(_, cc):
+            return ctx.encrypt(pk, m, nonce=cc[0, 0, 0])
+        return jax.lax.fori_loop(0, k, body, c)
+
+    @jax.jit
+    def dec_step(c, k):
+        def body(_, cc):
+            out = ctx.decrypt(sk, cc)
+            return cc.at[0, 0, 0].set((cc[0, 0, 0] + out[0]) % q0)
+        return jax.lax.fori_loop(0, k, body, c)
+
+    hi = max(64, (1 << 24) // (n * r))
+    lo = hi // 8
+    kw = dict(inner_lo=lo, inner_hi=hi, reps=3, epochs=3)
+    t_kg = profiling.time_chained_dynamic(kg_step, jnp.uint64(1), **kw)
+    t_enc = profiling.time_chained_dynamic(enc_step, ct, **kw)
+    t_dec = profiling.time_chained_dynamic(dec_step, ct, **kw)
+    b_kg, b_enc, b_dec = BASELINE_BFV_US[name]
+    if min(t_kg, t_enc, t_dec) <= 0:
+        raise RuntimeError("degenerate slope")
+    row = {
+        "keygen_us": round(t_kg * 1e6, 2),
+        "encrypt_us": round(t_enc * 1e6, 2),
+        "decrypt_us": round(t_dec * 1e6, 2),
+        "keygen_vs_baseline": round(b_kg / (t_kg * 1e6), 3),
+        "encrypt_vs_baseline": round(b_enc / (t_enc * 1e6), 3),
+        "decrypt_vs_baseline": round(b_dec / (t_dec * 1e6), 3),
+    }
+    _log(f"[bench] {name}: kg {t_kg*1e6:.1f} enc {t_enc*1e6:.1f} "
+         f"dec {t_dec*1e6:.1f} us "
+         f"({time.perf_counter()-t0:.0f}s incl. compiles)")
+    return row
 
 
 def bench_bfv_batched(set_names, J=16):
@@ -329,61 +338,72 @@ def bench_bfv_batched(set_names, J=16):
         if _over_budget():
             _log(f"[bench] over time budget, skipping batched {name}")
             continue
-        p = get_bfv_params(name)
-        n, r = p.n, p.r
-        t0 = time.perf_counter()
-        m_batch = jnp.asarray(
-            np.arange(J * n, dtype=np.uint64).reshape(J, n) % p.t)
-        nonces0 = jnp.arange(1, J + 1, dtype=jnp.uint64)
-        q0 = jnp.uint64(p.q[0])
         try:
-            ctx = bfv.BFVContext.build(p)
-            sk, pk = ctx.keygen()
-            cts = ctx.encrypt_batch(pk, m_batch, nonces0)
+            results[name] = _bench_bfv_batched_one(
+                bfv, get_bfv_params, profiling, jax, jnp, name, J)
         except Exception as exc:
-            _log(f"[bench] batched {name}: op schedule failed "
-                 f"({exc!r:.200}); falling back to fusion='stage'")
-            ctx = bfv.BFVContext.build(p, fusion="stage")
-            sk, pk = ctx.keygen()
-            cts = ctx.encrypt_batch(pk, m_batch, nonces0)
-
-        @jax.jit
-        def enc_step(c, k):
-            def body(_, cc):
-                return ctx.encrypt_batch(pk, m_batch,
-                                         nonces0 + cc[0, 0, 0, 0])
-            return jax.lax.fori_loop(0, k, body, c)
-
-        @jax.jit
-        def dec_step(c, k):
-            def body(_, cc):
-                out = ctx.decrypt_batch(sk, cc)
-                return cc.at[0, 0, 0, 0].set((cc[0, 0, 0, 0] + out[0, 0])
-                                             % q0)
-            return jax.lax.fori_loop(0, k, body, c)
-
-        hi = max(16, (1 << 24) // (n * r * J))
-        kw = dict(inner_lo=max(2, hi // 8), inner_hi=hi, reps=3, epochs=3)
-        t_enc = profiling.time_chained_dynamic(enc_step, cts, **kw)
-        t_dec = profiling.time_chained_dynamic(dec_step, cts, **kw)
-        if min(t_enc, t_dec) <= 0:
-            _log(f"[bench] batched {name}: degenerate slope, skipping")
-            continue
-        _, b_enc, b_dec = BASELINE_BFV_US[name]
-        enc_ops = J / t_enc
-        dec_ops = J / t_dec
-        results[name] = {
-            "J": J,
-            "encrypt_us_per_msg": round(t_enc / J * 1e6, 2),
-            "decrypt_us_per_msg": round(t_dec / J * 1e6, 2),
-            "encrypt_ops_per_s": round(enc_ops, 1),
-            "decrypt_ops_per_s": round(dec_ops, 1),
-            "encrypt_vs_baseline": round(enc_ops / (1e6 / b_enc), 3),
-            "decrypt_vs_baseline": round(dec_ops / (1e6 / b_dec), 3),
-        }
-        _log(f"[bench] batched {name}: enc {enc_ops:.0f} dec {dec_ops:.0f} "
-             f"ops/s ({time.perf_counter()-t0:.0f}s incl. compiles)")
+            _log(f"[bench] batched {name}: failed ({exc!r:.300}); "
+                 "skipping set")
     return results
+
+
+def _bench_bfv_batched_one(bfv, get_bfv_params, profiling, jax, jnp,
+                           name, J):
+    p = get_bfv_params(name)
+    n, r = p.n, p.r
+    t0 = time.perf_counter()
+    m_batch = jnp.asarray(
+        np.arange(J * n, dtype=np.uint64).reshape(J, n) % p.t)
+    nonces0 = jnp.arange(1, J + 1, dtype=jnp.uint64)
+    q0 = jnp.uint64(p.q[0])
+    try:
+        ctx = bfv.BFVContext.build(p)
+        sk, pk = ctx.keygen()
+        cts = ctx.encrypt_batch(pk, m_batch, nonces0)
+        jax.block_until_ready(ctx.decrypt_batch(sk, cts))
+    except Exception as exc:
+        _log(f"[bench] batched {name}: op schedule failed "
+             f"({exc!r:.200}); falling back to fusion='stage'")
+        ctx = bfv.BFVContext.build(p, fusion="stage")
+        sk, pk = ctx.keygen()
+        cts = ctx.encrypt_batch(pk, m_batch, nonces0)
+
+    @jax.jit
+    def enc_step(c, k):
+        def body(_, cc):
+            return ctx.encrypt_batch(pk, m_batch,
+                                     nonces0 + cc[0, 0, 0, 0])
+        return jax.lax.fori_loop(0, k, body, c)
+
+    @jax.jit
+    def dec_step(c, k):
+        def body(_, cc):
+            out = ctx.decrypt_batch(sk, cc)
+            return cc.at[0, 0, 0, 0].set((cc[0, 0, 0, 0] + out[0, 0])
+                                         % q0)
+        return jax.lax.fori_loop(0, k, body, c)
+
+    hi = max(16, (1 << 24) // (n * r * J))
+    kw = dict(inner_lo=max(2, hi // 8), inner_hi=hi, reps=3, epochs=3)
+    t_enc = profiling.time_chained_dynamic(enc_step, cts, **kw)
+    t_dec = profiling.time_chained_dynamic(dec_step, cts, **kw)
+    if min(t_enc, t_dec) <= 0:
+        raise RuntimeError("degenerate slope")
+    _, b_enc, b_dec = BASELINE_BFV_US[name]
+    enc_ops = J / t_enc
+    dec_ops = J / t_dec
+    row = {
+        "J": J,
+        "encrypt_us_per_msg": round(t_enc / J * 1e6, 2),
+        "decrypt_us_per_msg": round(t_dec / J * 1e6, 2),
+        "encrypt_ops_per_s": round(enc_ops, 1),
+        "decrypt_ops_per_s": round(dec_ops, 1),
+        "encrypt_vs_baseline": round(enc_ops / (1e6 / b_enc), 3),
+        "decrypt_vs_baseline": round(dec_ops / (1e6 / b_dec), 3),
+    }
+    _log(f"[bench] batched {name}: enc {enc_ops:.0f} dec {dec_ops:.0f} "
+         f"ops/s ({time.perf_counter()-t0:.0f}s incl. compiles)")
+    return row
 
 
 def _arm_backend_watchdog() -> "threading.Event":
@@ -446,72 +466,101 @@ def _arm_hard_deadline() -> None:
     threading.Thread(target=watchdog, daemon=True).start()
 
 
+def _section(label, detail, key, fn, *a):
+    """Run one bench section; a failure (e.g. a Mosaic compile error on one
+    kernel family) must never kill the artifact — log, record, continue."""
+    try:
+        out = fn(*a)
+        if key is not None:
+            detail[key] = out
+        return out
+    except Exception as exc:
+        _log(f"[bench] section {label} failed: {exc!r:.300}")
+        detail.setdefault("sections_failed", []).append(label)
+        return None
+
+
 def main() -> None:
     init_ok = _arm_backend_watchdog()
     _arm_hard_deadline()
-    import jax
-    _log(f"[bench] backend={jax.default_backend()}")
-    init_ok.set()
 
-    tf = bench_transforms()
-    ntt_per_sec = 1e6 / tf["ntt"]
-    _HEADLINE_STATE["headline"] = {
-        "metric": "NTT/s/chip @ N=2^15, 55-bit q (fused pallas, "
-                  "16-modulus batch)",
-        "value": round(ntt_per_sec, 1),
-        "unit": "transforms/sec",
-        "vs_baseline": round(tf["ntt"] and BASELINE_NTT_US / tf["ntt"], 3),
-        "ntt_us": round(tf["ntt"], 2),
-        "intt_us": round(tf["intt"], 2),
-        "intt_vs_baseline": round(BASELINE_INTT_US / tf["intt"], 3),
-    }
-    detail = {
-        "ntt_us": round(tf["ntt"], 2),
-        "ntt_vs_baseline": round(BASELINE_NTT_US / tf["ntt"], 3),
-        "ntt_epochs_us": tf["ntt_epochs"],
-        "intt_us": round(tf["intt"], 2),
-        "intt_vs_baseline": round(BASELINE_INTT_US / tf["intt"], 3),
-        "intt_epochs_us": tf["intt_epochs"],
-    }
-    t30 = bench_transforms30()
-    if t30["ntt30"] > 0 and t30["intt30"] > 0:
-        detail.update({
-            "ntt30_us": round(t30["ntt30"], 2),
-            "ntt30_vs_baseline": round(BASELINE_NTT30_US / t30["ntt30"], 3),
-            "intt30_us": round(t30["intt30"], 2),
-            "intt30_vs_baseline": round(BASELINE_INTT30_US / t30["intt30"], 3),
-        })
-    detail["table6_55bit"] = bench_table6()
-    detail["table6_30bit"] = bench_table6_30bit()
-    if os.environ.get("BENCH_NTT_ONLY", "") != "1":
-        sets = os.environ.get("BENCH_SETS", "")
-        # headline 32k sets first: a time-budget cut drops small sets
-        names = ([s for s in sets.split(",") if s] if sets
-                 else ["32k_9q", "32k_16q", "4k_3q", "8k_4q", "16k_5q"])
-        detail["bfv_table7"] = bench_bfv(names)
-        bsets = os.environ.get("BENCH_BATCH_SETS", "32k_9q,16k_5q")
-        detail["bfv_batched"] = bench_bfv_batched(
-            [s for s in bsets.split(",") if s])
-
+    # ONE headline dict, shared with the hard-deadline watchdog and
+    # mutated in place as sections land — the watchdog can never print a
+    # record that drifted from the final one.  Created BEFORE the first
+    # backend touch: a fast-raising backend init (tunnel down) must still
+    # reach the finally-printed headline.
     headline = {
         "metric": "NTT/s/chip @ N=2^15, 55-bit q (fused pallas, "
                   "16-modulus batch)",
-        "value": round(ntt_per_sec, 1),
+        "value": None,
         "unit": "transforms/sec",
-        "vs_baseline": round(tf["ntt"] and BASELINE_NTT_US / tf["ntt"], 3),
-        "ntt_us": round(tf["ntt"], 2),
-        "intt_us": round(tf["intt"], 2),
-        "intt_vs_baseline": round(BASELINE_INTT_US / tf["intt"], 3),
+        "vs_baseline": None,
     }
-    record = dict(headline)
-    record["detail"] = detail
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_detail.json"), "w") as f:
-        json.dump(record, f, indent=1)
-    # The compact headline is the FINAL stdout line (round 2's full-record
-    # print overflowed the driver's tail capture; detail lives only in
-    # bench_detail.json).
-    print(json.dumps(headline))
+    _HEADLINE_STATE["headline"] = headline
+    detail = {}
+    try:
+        try:
+            import jax
+            _log(f"[bench] backend={jax.default_backend()}")
+        except Exception as exc:
+            headline["error"] = f"backend init failed: {exc!r:.300}"
+            return
+        finally:
+            init_ok.set()
+        tf = _section("transforms", detail, None, bench_transforms)
+        if tf and tf["ntt"] > 0 and tf["intt"] > 0:
+            headline.update({
+                "value": round(1e6 / tf["ntt"], 1),
+                "vs_baseline": round(BASELINE_NTT_US / tf["ntt"], 3),
+                "ntt_us": round(tf["ntt"], 2),
+                "intt_us": round(tf["intt"], 2),
+                "intt_vs_baseline": round(BASELINE_INTT_US / tf["intt"], 3),
+            })
+            detail.update({
+                "ntt_us": round(tf["ntt"], 2),
+                "ntt_vs_baseline": round(BASELINE_NTT_US / tf["ntt"], 3),
+                "ntt_epochs_us": tf["ntt_epochs"],
+                "intt_us": round(tf["intt"], 2),
+                "intt_vs_baseline": round(BASELINE_INTT_US / tf["intt"], 3),
+                "intt_epochs_us": tf["intt_epochs"],
+            })
+        t30 = _section("transforms30", detail, None, bench_transforms30)
+        if t30 and t30["ntt30"] > 0 and t30["intt30"] > 0:
+            detail.update({
+                "ntt30_us": round(t30["ntt30"], 2),
+                "ntt30_vs_baseline":
+                    round(BASELINE_NTT30_US / t30["ntt30"], 3),
+                "intt30_us": round(t30["intt30"], 2),
+                "intt30_vs_baseline":
+                    round(BASELINE_INTT30_US / t30["intt30"], 3),
+            })
+        _section("table6_55bit", detail, "table6_55bit", bench_table6)
+        _section("table6_30bit", detail, "table6_30bit", bench_table6_30bit)
+        if os.environ.get("BENCH_NTT_ONLY", "") != "1":
+            sets = os.environ.get("BENCH_SETS", "")
+            # headline 32k sets first: a time-budget cut drops small sets
+            names = ([s for s in sets.split(",") if s] if sets
+                     else ["32k_9q", "32k_16q", "4k_3q", "8k_4q", "16k_5q"])
+            _section("bfv_table7", detail, "bfv_table7", bench_bfv, names)
+            bsets = os.environ.get("BENCH_BATCH_SETS", "32k_9q,16k_5q")
+            _section("bfv_batched", detail, "bfv_batched",
+                     bench_bfv_batched, [s for s in bsets.split(",") if s])
+    finally:
+        if "sections_failed" in detail:
+            headline["sections_failed"] = detail["sections_failed"]
+        record = dict(headline)
+        record["detail"] = detail
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_detail.json"), "w") as f:
+                json.dump(record, f, indent=1)
+        except Exception as exc:
+            _log(f"[bench] could not write bench_detail.json: {exc!r}")
+        # The compact headline is the FINAL stdout line (round 2's
+        # full-record print overflowed the driver's tail capture; detail
+        # lives only in bench_detail.json).
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

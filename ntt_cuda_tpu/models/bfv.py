@@ -171,7 +171,9 @@ class BFVContext:
         `nonce` (int or traced u64) selects the Salsa20 nonce; 0 is the
         reference's deterministic default.  Keygen nonces live in the
         bit-63-clear half of the nonce space (sampling.keygen_nonce) —
-        structurally disjoint from every nonzero encryption nonce."""
+        structurally disjoint from every nonzero encryption nonce.
+        Nonces must be < 2**63 (bit 63 is the domain-separation bit)."""
+        sampling.check_user_nonce(nonce)
         return _keygen_jit(jnp.asarray(nonce, U64), self.ms_full,
                            self.tables_full, self.ftab_full,
                            self.params.n, self.params.r, self.backend,
@@ -188,7 +190,9 @@ class BFVContext:
         collide with a keygen stream; nonce 0 passes through for
         reference byte-compatibility (its keygen and encryption share
         the nonce-0 stream BY DESIGN — never use a nonce-0 pair for real
-        data; see ops/sampling.py)."""
+        data; see ops/sampling.py).  Nonces must be < 2**63 (bit 63 is
+        the domain-separation bit)."""
+        sampling.check_user_nonce(nonce)
         p = self.params
         pk = check_residues("pk", pk, (2, p.r, p.n),
                             "keygen returns the NTT-domain (2, r, n) pk")
@@ -220,6 +224,7 @@ class BFVContext:
             raise ValueError(f"m_batch: expected (J, n), got {m_batch.shape}")
         J = m_batch.shape[0]
         m_batch = check_residues("m_batch", m_batch, (J, p.n))
+        sampling.check_user_nonce(nonces)
         nonces = jnp.asarray(nonces, U64)
         if nonces.shape != (J,):
             raise ValueError(f"nonces: expected shape ({J},), got "
@@ -324,18 +329,11 @@ def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
                                        ftab, tail_consts, interpret=interp)
     u, e0, e1 = sampling.encrypt_draws(n, r, ms_full, nonce=nonce,
                                        ks_impl=ks)
-    e = jnp.stack([e0, e1])
-    u_ntt = _fwd(u, tables, ftab, ms_full, backend)     # (r, n), once
-    if backend == "xla":
-        c = jnp.broadcast_to(u_ntt, (2, r, n))
-        c = _inv_mul(c, pk, tables, ftab, ms_full, backend)
-        c = poly.poly_add(c, e, ms_full)                # `>` quirk preserved
-        c = poly.divide_and_round_q_last(c, dr_consts, ms_drop, ms_last)
-        c0 = poly.add_message(c[0], m_poly, msg_consts)
-        return jnp.stack([c0, c[1]])
-    # round-2 "stage" schedule: everything after NTT(u) in one kernel
-    return bfv_tail.encrypt_fused(u_ntt, pk, e, m_poly.astype(U64),
-                                  ftab, tail_consts, interpret=interp)
+    # xla / round-2 "stage" schedules share _encrypt_one_drawn with the
+    # batched path (one post-draw body, not two copies)
+    return _encrypt_one_drawn(u, jnp.stack([e0, e1]), pk, m_poly, ms_full,
+                              ms_drop, ms_last, tables, ftab, dr_consts,
+                              msg_consts, tail_consts, n, r, backend)
 
 
 @functools.partial(jax.jit,
@@ -366,6 +364,9 @@ def _encrypt_batch_jit(nonces, pk, m_batch, ms_full, ms_drop, ms_last,
 def _encrypt_one_drawn(u, e, pk, m_poly, ms_full, ms_drop, ms_last, tables,
                        ftab, dr_consts, msg_consts, tail_consts, n, r,
                        backend):
+    """The post-draw encryption body (u (r, n), e (2, r, n) residues) —
+    the ONE copy shared by _encrypt_jit and _encrypt_batch_jit on the
+    xla and round-2 'stage' schedules."""
     u_ntt = _fwd(u, tables, ftab, ms_full, backend)
     if backend == "xla":
         c = jnp.broadcast_to(u_ntt, (2, r, n))

@@ -230,8 +230,10 @@ def half_polymul(x, y_ntt, ftab, interpret: bool = False):
     half_poly_mul_device (poly_arithmetic.cuh:296-310).  x (..., r, n)
     coefficient-domain (standard RNS layout, poly b has modulus b % r);
     y_ntt broadcasts against x's batch dims.  Tables load once per
-    modulus across the whole batch."""
-    y_ntt = jnp.broadcast_to(y_ntt, x.shape)
+    modulus across the whole batch.  A batch-invariant y (shape equal to
+    x's trailing dims, e.g. the sk in batched decrypt) is NOT
+    materialized per message: its blocks are indexed by modulus only, so
+    the J grid steps of one modulus re-read the same (r, n) planes."""
     n, n1 = ftab.n, ftab.n1
     LA = (n1.bit_length() - 1) * n1
     r = ftab.qconst.shape[0]
@@ -241,10 +243,18 @@ def half_polymul(x, y_ntt, ftab, interpret: bool = False):
         raise ValueError(f"batch {batch_shape} not a multiple of r={r}")
     J = B // r
     xl, xh = limb32.to_pair(x.reshape(B, n1, N2))
-    yl, yh = limb32.to_pair(y_ntt.reshape(B, n1, N2))
 
     z = np.int32(0)
     dmap = lambda m, j, qc: (j * np.int32(r) + m, z, z)
+    if y_ntt.shape != x.shape and y_ntt.shape == x.shape[-2:]:
+        # shared across the J batch: keep the (r, n) planes, fetch by
+        # modulus (no (J, r, n) HBM materialization)
+        yl, yh = limb32.to_pair(y_ntt.reshape(r, n1, N2))
+        ymap = lambda m, j, qc: (m, z, z)
+    else:
+        y_ntt = jnp.broadcast_to(y_ntt, x.shape)
+        yl, yh = limb32.to_pair(y_ntt.reshape(B, n1, N2))
+        ymap = dmap
     tmap = lambda m, j, qc: (m, z, z, z)
     bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
     ts = lambda rows, im: pl.BlockSpec((1, 4, rows, N2), im,
@@ -253,7 +263,7 @@ def half_polymul(x, y_ntt, ftab, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(r, J),
         in_specs=[bs(dmap), bs(dmap),
-                  bs(dmap), bs(dmap),
+                  bs(ymap), bs(ymap),
                   ts(LA, tmap), ts(n1, tmap), ts(8, tmap),
                   ts(LA, tmap), ts(n1, tmap), ts(8, tmap)],
         out_specs=[bs(dmap), bs(dmap)],
@@ -451,6 +461,20 @@ def _make_enc_kernel(log2t: int, r: int, n1: int, interpret: bool):
     return kernel
 
 
+# The (J, 2, n, u32-pair) ra scratch grows linearly with the message
+# batch (16*n bytes per message): past this budget the kernel would blow
+# the 100 MB vmem_limit_bytes (tables + pipelined IO blocks take the
+# rest), so encrypt_fused transparently splits larger batches into
+# chunks of max_encrypt_batch(n) messages (twiddle amortization is
+# intact within each chunk).
+_ENC_SCRATCH_BUDGET_BYTES = 48 * 1024 * 1024
+
+
+def max_encrypt_batch(n: int) -> int:
+    """Largest J one encrypt_fused kernel launch handles at size n."""
+    return max(1, _ENC_SCRATCH_BUDGET_BYTES // (16 * n))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
                   interpret: bool = False):
@@ -462,11 +486,19 @@ def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
     ntt_forward(ternary-res u), ntt_inverse_mul(broadcast, pk),
     encrypt_tail with gaussian-res e — the residue broadcasts happen
     in-kernel, so no (r, n) u64 draw tensor ever reaches HBM.  Leading J
-    dims may be omitted for a single message."""
+    dims may be omitted for a single message.  Batches larger than
+    max_encrypt_batch(n) run as multiple kernel launches."""
     single = u_b.ndim == 1
     if single:
         u_b, e_d, m_poly = u_b[None], e_d[None], m_poly[None]
     J, n = u_b.shape
+    jmax = max_encrypt_batch(n)
+    if J > jmax:
+        cts = [encrypt_fused(u_b[o:o + jmax], pk, e_d[o:o + jmax],
+                             m_poly[o:o + jmax], ftab, consts,
+                             interpret=interpret)
+               for o in range(0, J, jmax)]
+        return jnp.concatenate(cts, axis=0)
     r = pk.shape[1]
     n1 = n // N2
     LA = (n1.bit_length() - 1) * n1

@@ -79,6 +79,26 @@ F32 = jnp.float32
 _NONCE_HIGH_BIT = 1 << 63
 
 
+def check_user_nonce(nonce) -> None:
+    """Reject concrete user nonces with bit 63 set.  That bit is reserved
+    for the keygen/encrypt domain separation: two raw nonces differing
+    only in bit 63 would map to the SAME effective stream (silent
+    randomness reuse), and keygen(2**63) would silently reproduce the
+    fixed nonce-0 secret key.  Called at the public API layer (model /
+    parallel contexts) — NOT inside keygen_nonce/encrypt_nonce, which the
+    pipelines re-apply idempotently to already-mapped values.  Traced
+    values (inside a user jit) cannot be checked and rely on the
+    documented < 2**63 contract."""
+    import numpy as np
+    if isinstance(nonce, jax.core.Tracer):
+        return
+    v = np.asarray(nonce, dtype=np.uint64)
+    if np.any(v >> np.uint64(63)):
+        raise ValueError(
+            "nonce bit 63 is reserved for keygen/encrypt domain "
+            "separation; user nonces must be < 2**63")
+
+
 def keygen_nonce(nonce):
     """Keygen's effective Salsa20 nonce: bit 63 cleared, so the keygen
     stream space is provably disjoint from every nonzero encryption
@@ -95,13 +115,23 @@ def encrypt_nonce(nonce):
     return jnp.where(nonce == 0, nonce, nonce | U64(_NONCE_HIGH_BIT))
 
 
+def _residues(d_int: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
+    """(..., n) small signed ints -> (..., r, n) residues: negatives map
+    to q + d per modulus, non-negatives broadcast unchanged (the modulus
+    axis is inserted before the coefficient axis).  The shared tail of
+    every small-value sampler (ternary / gaussian, batched or not)."""
+    d64 = jnp.asarray(d_int, jnp.int64)[..., None, :]
+    q = ms.q.astype(jnp.int64)                             # (r, 1)
+    out = jnp.where(d64 < 0, q + d64,
+                    jnp.broadcast_to(d64, d64.shape[:-2]
+                                     + (ms.r,) + d64.shape[-1:]))
+    return out.astype(U64)
+
+
 def ternary(bytes_u8: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
     """(n,) bytes -> (r, n) ternary residues; same bytes for every modulus
     (ternary_dist_xq reads in[i % n])."""
-    b = (bytes_u8.astype(jnp.int32) // 85) - 1  # in {-1, 0, 1, 2}
-    b64 = b.astype(jnp.int64)
-    out = jnp.where(b64 < 0, ms.q.astype(jnp.int64) + b64, jnp.broadcast_to(b64, (ms.r,) + b.shape))
-    return out.astype(U64)
+    return _residues(ternary_int(bytes_u8), ms)
 
 
 def uniform(u64s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
@@ -301,10 +331,7 @@ def gaussian(u32s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
     """(n,) u32 words -> (r, n) discrete-Gaussian residues; same draw for
     every modulus (gaussian_dist_xq reads in[i % n]); negatives mapped to
     q + d (convert_gaussian, distributions.cuh:184-188)."""
-    dd64 = gaussian_int(u32s).astype(jnp.int64)
-    out = jnp.where(dd64 < 0, ms.q.astype(jnp.int64) + dd64,
-                    jnp.broadcast_to(dd64, (ms.r,) + dd64.shape))
-    return out.astype(U64)
+    return _residues(gaussian_int(u32s), ms)
 
 
 # ---------------------------------------------------------------------------
@@ -437,18 +464,11 @@ def encrypt_draws_batch(n: int, r: int, ms: modmath.ModulusSet,
     bw = salsa20.keystream_block_words_batch(
         (nbytes + 63) // 64, encrypt_nonce(nonces), key_byte=key_byte,
         impl=ks_impl)                                      # (J, 16, nb)
-    q = ms.q.astype(jnp.int64)[None, :, :]                 # (1, r, 1)
-
-    b = (salsa20.block_words_u8_batch(bw, 0, n).astype(jnp.int32) // 85) - 1
-    b64 = b.astype(jnp.int64)[:, None, :]                  # (J, 1, n)
-    u = jnp.where(b64 < 0, q + b64,
-                  jnp.broadcast_to(b64, (J, ms.r, n))).astype(U64)
+    u = _residues(ternary_int(salsa20.block_words_u8_batch(bw, 0, n)), ms)
 
     def gauss(start):
         dd = gaussian_int(salsa20.block_words_u32_batch(bw, start, n))
-        dd64 = dd.astype(jnp.int64)[:, None, :]            # (J, 1, n)
-        return jnp.where(dd64 < 0, q + dd64,
-                         jnp.broadcast_to(dd64, (J, ms.r, n))).astype(U64)
+        return _residues(dd, ms)
 
     e = jnp.stack([gauss(n), gauss(5 * n)], axis=1)        # (J, 2, r, n)
     return u, e

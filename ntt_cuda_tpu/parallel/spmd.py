@@ -120,6 +120,7 @@ class SpmdBFVContext:
         return fn.lower(*args)
 
     def _keygen_program(self, nonce):
+        sampling.check_user_nonce(nonce)
         p = self.params
         n, r = p.n, p.r
         R = self.mesh.shape["rns"]
@@ -176,6 +177,7 @@ class SpmdBFVContext:
         return fn.lower(*args)
 
     def _encrypt_program(self, pk, m_poly, nonce):
+        sampling.check_user_nonce(nonce)
         p = self.params
         n, r = p.n, p.r
         R = self.mesh.shape["rns"]

@@ -169,6 +169,7 @@ class Spmd2DBFVContext:
         return fn.lower(*args)
 
     def _keygen_program(self, nonce):
+        sampling.check_user_nonce(nonce)
         p = self.params
         n, r = p.n, p.r
         R, C = self.mesh.shape[RNS_AXIS], self.mesh.shape[COEF_AXIS]
@@ -217,6 +218,7 @@ class Spmd2DBFVContext:
         return fn.lower(*args)
 
     def _encrypt_program(self, pk, m_poly, nonce):
+        sampling.check_user_nonce(nonce)
         p = self.params
         n, r = p.n, p.r
         R, C = self.mesh.shape[RNS_AXIS], self.mesh.shape[COEF_AXIS]

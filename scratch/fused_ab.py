@@ -69,6 +69,13 @@ def main():
     sets = sys.argv[1:] or ["16k_5q", "32k_9q"]
     log(f"backend={jax.default_backend()}")
     for name in sets:
+        try:
+            run_set(name)
+        except Exception as exc:
+            log(f"=== {name} FAILED: {exc!r:.400}")
+
+
+def run_set(name):
         p = get_bfv_params(name)
         log(f"=== {name} (n={p.n}, r={p.r}) ===")
         ctx_op = bfv.BFVContext.build(p, fusion="op")

@@ -132,6 +132,30 @@ def test_encrypt_fused_batched(p4k, ftab4k, rng):
         np.testing.assert_array_equal(np.asarray(got[j]), np.asarray(ref))
 
 
+@pytest.mark.slow
+def test_encrypt_fused_chunked(p4k, ftab4k, rng, monkeypatch):
+    """Batches above max_encrypt_batch(n) split into multiple kernel
+    launches (the (J, 2, n) ra scratch would blow the VMEM budget in one)
+    and stay bit-identical to the unchunked result."""
+    p = p4k
+    n = p.n
+    tc = bfv_tail.TailConsts.build(p)
+    pk = jnp.stack([_rand_res(rng, p.q, n), _rand_res(rng, p.q, n)])
+    J = 3
+    nonces = jnp.asarray([1, 2, 3], jnp.uint64)
+    u_b, e_d = sampling.encrypt_draws_compact_batch(n, nonces, ks_impl="xla")
+    msgs = jnp.asarray(rng.integers(0, p.t, (J, n), dtype=np.uint64))
+    ref = fused_ops.encrypt_fused(u_b, pk, e_d, msgs, ftab4k, tc,
+                                  interpret=True)
+    monkeypatch.setattr(fused_ops, "_ENC_SCRATCH_BUDGET_BYTES", 32 * n)
+    assert fused_ops.max_encrypt_batch(n) == 2   # forces a 2 + 1 split
+    # the undecorated function: the jit cache must not replay the
+    # unchunked J=3 trace recorded above
+    got = fused_ops.encrypt_fused.__wrapped__(u_b, pk, e_d, msgs, ftab4k,
+                                              tc, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_decrypt_tail_batched(p4k, rng):
     p = p4k
     n, rk = p.n, p.r - 1
@@ -203,3 +227,25 @@ def test_nonce_domain_separation(p4k):
     kn = sampling.keygen_nonce(jnp.uint64(2**63 + 5))
     en = sampling.encrypt_nonce(jnp.uint64(5))
     assert int(kn) >> 63 == 0 and int(en) >> 63 == 1
+
+
+def test_reserved_nonce_bit_rejected(p4k):
+    """Concrete user nonces with bit 63 set are rejected at the public API
+    (they would alias another nonce's stream — e.g. keygen(2**63) would
+    silently reproduce the nonce-0 secret key).  The internal mapping
+    functions stay permissive (they re-apply idempotently to
+    already-mapped values inside the pipelines)."""
+    for bad in (2**63, np.uint64(2**63 + 7), [1, 2**63 + 1]):
+        with pytest.raises(ValueError, match="bit 63"):
+            sampling.check_user_nonce(bad)
+    sampling.check_user_nonce(0)
+    sampling.check_user_nonce(jnp.asarray([1, 2**62], jnp.uint64))
+    ctx = bfv.BFVContext.build(p4k)
+    with pytest.raises(ValueError, match="bit 63"):
+        ctx.keygen(nonce=2**63)
+    m = jnp.zeros((p4k.n,), jnp.uint64)
+    pk_shape = jnp.zeros((2, p4k.r, p4k.n), jnp.uint64)
+    with pytest.raises(ValueError, match="bit 63"):
+        ctx.encrypt(pk_shape, m, nonce=2**63 + 1)
+    with pytest.raises(ValueError, match="bit 63"):
+        ctx.encrypt_batch(pk_shape, m[None, :], [2**63 + 1])
