@@ -265,6 +265,38 @@ class BFVContext:
                                   self.dec_tail_consts, self.backend,
                                   self.fusion)
 
+    def add(self, ct_a, ct_b):
+        """Homomorphic addition: decrypt(add(E(m1), E(m2))) == (m1 + m2) mod t.
+
+        BFV ciphertexts are linear in the message — component-wise
+        residue addition is the scheme's EvalAdd (beyond the reference,
+        which stops at encrypt/decrypt; the noise of the sum is the sum
+        of the operands' noises, so fresh encryptions are far inside the
+        decryption budget).  Accepts (2, r-1, n) ciphertexts or
+        (J, 2, r-1, n) batches (shapes must match)."""
+        a, b = self._ct_pair("add", ct_a, ct_b)
+        return _ct_add_jit(a, b, self.ms_drop)
+
+    def sub(self, ct_a, ct_b):
+        """Homomorphic subtraction: decrypts to (m1 - m2) mod t.
+        Same shape/noise contract as add()."""
+        a, b = self._ct_pair("sub", ct_a, ct_b)
+        return _ct_sub_jit(a, b, self.ms_drop)
+
+    def _ct_pair(self, op, ct_a, ct_b):
+        p = self.params
+        ct_a, ct_b = jnp.asarray(ct_a), jnp.asarray(ct_b)
+        if ct_a.shape != ct_b.shape:
+            raise ValueError(f"{op}: ciphertext shapes differ "
+                             f"({ct_a.shape} vs {ct_b.shape})")
+        base = (2, p.r - 1, p.n)
+        if ct_a.shape[-3:] != base or ct_a.ndim not in (3, 4):
+            raise ValueError(f"{op}: expected (2, r-1, n) or (J, 2, r-1, n) "
+                             f"= (..., {base}), got {ct_a.shape}")
+        ct_a = check_residues(f"{op} lhs", ct_a, ct_a.shape)
+        ct_b = check_residues(f"{op} rhs", ct_b, ct_b.shape)
+        return ct_a, ct_b
+
     def _sk_drop(self, sk):
         p = self.params
         sk = jnp.asarray(sk)
@@ -283,6 +315,19 @@ class BFVContext:
 # ---------------------------------------------------------------------------
 # Jitted pipelines (static over (n, r); retraced per parameter set).
 # ---------------------------------------------------------------------------
+
+@jax.jit
+def _ct_add_jit(a, b, ms):
+    # Exact mod-q add (not the reference's lazy strict-`>` quirk): sums
+    # that land exactly on q must reduce to 0 so outputs stay canonical
+    # [0, q) ciphertexts accepted by decrypt()/add() again.
+    s = a + b
+    return s - ms.q * (s >= ms.q).astype(U64)
+
+
+@jax.jit
+def _ct_sub_jit(a, b, ms):
+    return poly.poly_sub(a, b, ms)
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "r", "backend", "uniform_spec",

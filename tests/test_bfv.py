@@ -257,3 +257,35 @@ def test_pallas_roundtrip_minimum_r(rng):
     np.testing.assert_array_equal(np.asarray(ct_p), np.asarray(ct_x))
     out = np.asarray(ctx_p.decrypt(sk_p, ct_p))
     np.testing.assert_array_equal(out, np.asarray(m))
+
+
+def test_homomorphic_add_sub(ctx4k, rng):
+    """EvalAdd/EvalSub (beyond the reference): decrypt(add(E(m1), E(m2)))
+    == (m1 + m2) mod t, including plaintext wraparound; batched shapes
+    and canonical [0, q) outputs."""
+    p = ctx4k.params
+    sk, pk = ctx4k.keygen()
+    m1 = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    m2 = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    m1[:8] = p.t - 1  # force (m1 + m2) >= t lanes
+    m2[:8] = p.t - 1
+    ct1 = ctx4k.encrypt(pk, jnp.asarray(m1), nonce=1)
+    ct2 = ctx4k.encrypt(pk, jnp.asarray(m2), nonce=2)
+    ct_sum = ctx4k.add(ct1, ct2)
+    ct_dif = ctx4k.sub(ct1, ct2)
+    qcol = np.asarray(ctx4k.ms_drop.q)  # (r-1, 1)
+    assert (np.asarray(ct_sum) < qcol).all()
+    assert (np.asarray(ct_dif) < qcol).all()
+    np.testing.assert_array_equal(
+        np.asarray(ctx4k.decrypt(sk, ct_sum)), (m1 + m2) % p.t)
+    np.testing.assert_array_equal(
+        np.asarray(ctx4k.decrypt(sk, ct_dif)), (m1 - m2) % p.t)
+    # batched shape
+    cts = jnp.stack([ct1, ct2])
+    np.testing.assert_array_equal(
+        np.asarray(ctx4k.add(cts, cts))[0], np.asarray(ctx4k.add(ct1, ct1)))
+    # shape validation
+    with pytest.raises(ValueError, match="shapes differ"):
+        ctx4k.add(ct1, cts)
+    with pytest.raises(ValueError, match="expected"):
+        ctx4k.sub(ct1[0], ct2[0])
