@@ -283,6 +283,39 @@ class BFVContext:
         a, b = self._ct_pair("sub", ct_a, ct_b)
         return _ct_sub_jit(a, b, self.ms_drop)
 
+    def add_plain(self, ct, m_poly):
+        """Ciphertext + plaintext: decrypts to (m_ct + m) mod t.
+
+        Reuses encryption's Delta-scaling (poly.add_message — the
+        reference's weird_m_stuff, bfv_encryption.cuh:193-213) on c0;
+        c1 is unchanged, so no noise is added at all."""
+        p = self.params
+        ct = check_residues("ct", ct, (2, p.r - 1, p.n),
+                            "encrypt returns (2, r-1, n)")
+        m_poly = check_residues("m_poly", m_poly, (p.n,),
+                                f"one plaintext value in [0, t) per "
+                                f"coefficient, n={p.n}")
+        return _add_plain_jit(ct, m_poly, self.msg_consts)
+
+    def mul_plain(self, ct, m_poly):
+        """Ciphertext * plaintext in R_t = Z_t[x]/(x^n + 1): decrypts to
+        the negacyclic product (m_ct * m) mod t.
+
+        Both components are multiplied by m in the NTT domain
+        (INTT(NTT(c_i) . NTT(m)) per kept residue — the fused
+        inverse-mul kernel on the pallas backends).  Noise scales with
+        the plaintext's size; monomials and small constants are
+        noise-free multipliers, dense random plaintexts can exhaust a
+        fresh ciphertext's budget."""
+        p = self.params
+        ct = check_residues("ct", ct, (2, p.r - 1, p.n),
+                            "encrypt returns (2, r-1, n)")
+        m_poly = check_residues("m_poly", m_poly, (p.n,),
+                                f"one plaintext value in [0, t) per "
+                                f"coefficient, n={p.n}")
+        return _mul_plain_jit(ct, m_poly, self.ms_drop, self.tables_drop,
+                              self.ftab_drop, self.backend)
+
     def _ct_pair(self, op, ct_a, ct_b):
         p = self.params
         ct_a, ct_b = jnp.asarray(ct_a), jnp.asarray(ct_b)
@@ -328,6 +361,24 @@ def _ct_add_jit(a, b, ms):
 @jax.jit
 def _ct_sub_jit(a, b, ms):
     return poly.poly_sub(a, b, ms)
+
+
+@jax.jit
+def _add_plain_jit(ct, m_poly, mc):
+    return ct.at[0].set(poly.add_message(ct[0], m_poly, mc))
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _mul_plain_jit(ct, m_poly, ms, tables, ftab, backend):
+    # m's coefficients are < t < every q_i, so its residue rows are m
+    # itself broadcast over the kept moduli.
+    m_res = jnp.broadcast_to(m_poly[None, :], ct.shape[1:])
+    fm = _fwd(m_res, tables, ftab, ms, backend)
+    c0 = _inv_mul(_fwd(ct[0], tables, ftab, ms, backend), fm,
+                  tables, ftab, ms, backend)
+    c1 = _inv_mul(_fwd(ct[1], tables, ftab, ms, backend), fm,
+                  tables, ftab, ms, backend)
+    return jnp.stack([c0, c1])
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "r", "backend", "uniform_spec",

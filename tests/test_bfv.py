@@ -289,3 +289,34 @@ def test_homomorphic_add_sub(ctx4k, rng):
         ctx4k.add(ct1, cts)
     with pytest.raises(ValueError, match="expected"):
         ctx4k.sub(ct1[0], ct2[0])
+
+
+def test_plaintext_add_mul(ctx4k, rng):
+    """add_plain / mul_plain: Delta-scaled plaintext addition and
+    NTT-domain negacyclic plaintext multiplication (monomial shift and
+    small-constant cases, where the noise growth is provably inside a
+    fresh ciphertext's budget)."""
+    p = ctx4k.params
+    sk, pk = ctx4k.keygen()
+    m1 = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    m2 = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct = ctx4k.encrypt(pk, jnp.asarray(m1), nonce=3)
+    np.testing.assert_array_equal(
+        np.asarray(ctx4k.decrypt(sk, ctx4k.add_plain(ct, jnp.asarray(m2)))),
+        (m1 + m2) % p.t)
+    # monomial multiplier x^k: negacyclic shift with sign wrap
+    k = 17
+    mono = np.zeros(p.n, dtype=np.uint64)
+    mono[k] = 1
+    got = np.asarray(ctx4k.decrypt(sk, ctx4k.mul_plain(ct, jnp.asarray(mono))))
+    exp = np.empty(p.n, dtype=np.uint64)
+    exp[k:] = m1[: p.n - k]
+    exp[:k] = (p.t - m1[p.n - k:]) % p.t   # wrapped terms pick up -1
+    np.testing.assert_array_equal(got, exp)
+    # small-constant multiplier
+    const = np.zeros(p.n, dtype=np.uint64)
+    const[0] = 7
+    got_c = np.asarray(ctx4k.decrypt(sk, ctx4k.mul_plain(ct, jnp.asarray(const))))
+    np.testing.assert_array_equal(got_c, (m1 * 7) % p.t)
+    with pytest.raises(ValueError, match="expected shape"):
+        ctx4k.mul_plain(ct, jnp.asarray(mono[:8]))
