@@ -376,3 +376,100 @@ def decrypt(params, c0, c1, sk_ntt, psi_tables, psiinv_tables):
         x = [(v * params.inv_punctured_q[i]) % q[i] for v in x]
         c1w.append(x)
     return fast_convert_and_round(c1w, params)
+
+
+# ---------------------------------------------------------------------------
+# BEHZ EvalMult machinery (ops/behz.py) — exact-int mirrors.
+#
+# The reference stops at keygen/encrypt/decrypt; its only base conversion
+# is decryption's q -> {t, gamma} step (poly_arithmetic.cuh:217-251).  The
+# multiplication pipeline generalizes that primitive (Bajard-Eynard-Hasan-
+# Zucca 2016); these mirrors restate the device formulas in exact Python
+# ints so the JAX implementations can be asserted bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _prod(xs) -> int:
+    p = 1
+    for x in xs:
+        p *= int(x)
+    return p
+
+
+def behz_rns_to_bsk(x, qs, bsk, m_tilde: int):
+    """Mirror of behz.rns_to_bsk: x (k polys of residues mod qs) ->
+    k+1 polys of residues mod bsk, congruent to x mod prod(qs) with
+    centered magnitude < prod(qs) (the m_tilde sm_mrq correction)."""
+    k = len(qs)
+    n = len(x[0])
+    q_prod = _prod(qs)
+    punct = [q_prod // qj for qj in qs]
+    inv_punct = [pow(p % qj, -1, qj) for p, qj in zip(punct, qs)]
+    neg_inv_q_mt = (-pow(q_prod, -1, m_tilde)) % m_tilde
+    zp = [[(int(x[j][i]) * m_tilde % qs[j]) * inv_punct[j] % qs[j]
+           for i in range(n)] for j in range(k)]
+    out = []
+    for m in bsk:
+        pm = [p % m for p in punct]
+        inv_mt = pow(m_tilde % m, -1, m)
+        row = []
+        for i in range(n):
+            y = sum(zp[j][i] * pm[j] for j in range(k)) % m
+            ymt = sum(zp[j][i] * (punct[j] % m_tilde)
+                      for j in range(k)) % m_tilde
+            rc = ymt * neg_inv_q_mt % m_tilde
+            if rc >= m_tilde // 2:
+                rc -= m_tilde
+            row.append((y + rc * q_prod) * inv_mt % m)
+        out.append(row)
+    return out
+
+
+def behz_fast_floor(xq, xbsk, qs, bsk, t: int):
+    """Mirror of behz.fast_floor: floor(t * X / prod(qs)) - alpha in base
+    bsk, alpha in [0, k)."""
+    k = len(qs)
+    n = len(xq[0])
+    q_prod = _prod(qs)
+    punct = [q_prod // qj for qj in qs]
+    inv_punct = [pow(p % qj, -1, qj) for p, qj in zip(punct, qs)]
+    zp = [[(int(xq[j][i]) * t % qs[j]) * inv_punct[j] % qs[j]
+           for i in range(n)] for j in range(k)]
+    out = []
+    for mi, m in enumerate(bsk):
+        pm = [p % m for p in punct]
+        inv_q = pow(q_prod % m, -1, m)
+        row = []
+        for i in range(n):
+            conv = sum(zp[j][i] * pm[j] for j in range(k)) % m
+            yb = int(xbsk[mi][i]) * t % m
+            row.append((yb - conv) * inv_q % m)
+        out.append(row)
+    return out
+
+
+def behz_bsk_to_q(x, qs, b, m_sk: int):
+    """Mirror of behz.bsk_to_q (Shenoy-Kumaresan): x (k+1 polys mod
+    b + [m_sk]) -> k polys mod qs, exact for centered |X| < prod(b)/2."""
+    k = len(b)
+    n = len(x[0])
+    b_prod = _prod(b)
+    punct = [b_prod // bj for bj in b]
+    inv_punct = [pow(p % bj, -1, bj) for p, bj in zip(punct, b)]
+    inv_bp_msk = pow(b_prod % m_sk, -1, m_sk)
+    xp = [[int(x[j][i]) * inv_punct[j] % b[j] for i in range(n)]
+          for j in range(k)]
+    alphas = []
+    for i in range(n):
+        cm = sum(xp[j][i] * (punct[j] % m_sk) for j in range(k)) % m_sk
+        a = (cm - int(x[k][i])) * inv_bp_msk % m_sk
+        alphas.append(a - m_sk if a > m_sk // 2 else a)
+    out = []
+    for qi in qs:
+        pq = [p % qi for p in punct]
+        row = []
+        for i in range(n):
+            cq = sum(xp[j][i] * pq[j] for j in range(k)) % qi
+            row.append((cq - alphas[i] * b_prod) % qi)
+        out.append(row)
+    return out
