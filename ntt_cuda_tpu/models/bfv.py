@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from .. import params as params_mod
-from ..ops import bfv_tail, fused_ops, modmath, ntt, ntt_pallas, poly, \
-    sampling
+from ..ops import behz, bfv_tail, fused_ops, modmath, ntt, ntt_pallas, \
+    poly, sampling
+from ..utils import hostmath as hm
 
 U64 = jnp.uint64
 
@@ -119,6 +120,10 @@ class BFVContext:
     dec_tail_consts: bfv_tail.DecTailConsts | None
     uniform_spec: str = "int"          # "int" | "fp64" (reference-exact)
     fusion: str = "op"                 # "op" | "stage" (see build())
+    # lazily-built EvalMult state (aux-base consts + Bsk NTT tables);
+    # a mutable cache on a frozen context, excluded from eq/hash
+    _mult_cache: dict = dataclasses.field(default_factory=dict,
+                                          compare=False, repr=False)
 
     @staticmethod
     def build(params: params_mod.BFVParams,
@@ -238,16 +243,28 @@ class BFVContext:
 
     def decrypt(self, sk, ct):
         """sk (r, n) NTT-domain (first r-1 residues used; (r-1, n) also
-        accepted), ct (2, r-1, n) -> plaintext (n,) in [0, t)."""
+        accepted), ct (L, r-1, n) -> plaintext (n,) in [0, t).
+
+        L = 2 for fresh/relinearized ciphertexts; L >= 3 decrypts
+        un-relinearized EvalMult outputs directly (c0 + c1*s + ... +
+        c_{L-1}*s^{L-1}, the standard BFV extended-ciphertext form)."""
         p = self.params
         sk = self._sk_drop(sk)
-        ct = check_residues("ct", ct, (2, p.r - 1, p.n),
-                            "encrypt returns (2, r-1, n) — the last RNS "
-                            "modulus is dropped")
-        return _decrypt_jit(sk, ct, self.ms_drop,
-                            self.tables_drop, self.ftab_drop,
-                            self.dec_consts, self.dec_tail_consts,
-                            self.backend, self.fusion)
+        ct = jnp.asarray(ct)
+        if ct.ndim != 3 or ct.shape[0] < 2:
+            raise ValueError(f"ct: expected (L>=2, r-1, n), got {ct.shape}")
+        L = ct.shape[0]
+        ct = check_residues("ct", ct, (L, p.r - 1, p.n),
+                            "encrypt returns (2, r-1, n), mul() (3, r-1, n)"
+                            " — the last RNS modulus is dropped")
+        if L == 2:
+            return _decrypt_jit(sk, ct, self.ms_drop,
+                                self.tables_drop, self.ftab_drop,
+                                self.dec_consts, self.dec_tail_consts,
+                                self.backend, self.fusion)
+        return _decrypt_many_jit(sk, ct, self.ms_drop, self.tables_drop,
+                                 self.ftab_drop, self.dec_consts,
+                                 self.dec_tail_consts, self.backend)
 
     def decrypt_batch(self, sk, cts):
         """Throughput-mode decryption: cts (J, 2, r-1, n) -> (J, n).
@@ -315,6 +332,96 @@ class BFVContext:
                                 f"coefficient, n={p.n}")
         return _mul_plain_jit(ct, m_poly, self.ms_drop, self.tables_drop,
                               self.ftab_drop, self.backend)
+
+    def mul(self, ct_a, ct_b, rlk=None):
+        """Homomorphic ciphertext multiplication (BEHZ RNS EvalMult):
+        decrypts to the negacyclic product (m1 * m2) mod t.
+
+        The reference stops at encrypt/decrypt; this is the full RNS
+        multiplication pipeline (Bajard-Eynard-Hasan-Zucca 2016, the
+        SEAL 3.5 BFV evaluator semantics) built on the same fast
+        base-conversion primitive as decryption
+        (poly_arithmetic.cuh:217-251): extend both ciphertexts to the
+        auxiliary base Bsk (ops/behz.py), tensor-product in NTT form
+        over q AND Bsk, scale by t/q (fast_floor), and convert back
+        (Shenoy-Kumaresan).
+
+        Accepts (2, r-1, n) ciphertexts or (J, 2, r-1, n) batches.
+        Returns the 3-component (..., 3, r-1, n) ciphertext, or a
+        relinearized (..., 2, r-1, n) one when `rlk` (relin_keygen) is
+        given.  decrypt() accepts both forms."""
+        a, b = self._ct_pair("mul", ct_a, ct_b)
+        st = self._mult_setup()
+        ct3 = _mult_jit(a, b, st.mc, self.tables_drop, self.ftab_drop,
+                        st.tables_bsk, st.ftab_bsk, self.ms_drop,
+                        self.backend)
+        if rlk is None:
+            return ct3
+        return self.relinearize(ct3, rlk)
+
+    def relin_keygen(self, sk, nonce=0):
+        """Generate relinearization keys for mul(): (2, r-1, r, n),
+        NTT-domain.
+
+        Special-modulus key switching: the dropped last RNS modulus
+        q_last (already the scheme's encryption special modulus,
+        bfv_encryption.cuh:111-178) doubles as the key-switching
+        modulus P.  Key j encrypts P * q-tilde_j * s^2 over the full
+        base q, so switching divides the digit noise by P
+        (divide_and_round_q_last — the exact same kernel as
+        encryption's modulus drop).
+
+        Draws run under a dedicated Salsa20 key byte
+        (sampling.RELIN_KEY_BYTE), independent of every keygen/encrypt
+        stream at any nonce.  Nonces must be < 2**63."""
+        sampling.check_user_nonce(nonce)
+        p = self.params
+        sk = check_residues("sk", sk, (p.r, p.n),
+                            "keygen returns the NTT-domain (r, n) sk")
+        st = self._mult_setup()
+        return _relin_keygen_jit(jnp.asarray(nonce, U64), sk, self.ms_full,
+                                 self.tables_full, self.ftab_full,
+                                 st.p_mont, p.n, p.r, self.backend)
+
+    def relinearize(self, ct3, rlk):
+        """(3, r-1, n) EvalMult output + relin keys -> (2, r-1, n).
+
+        RNS-decomposes c2 into its residue digits, key-switches through
+        rlk over the extended base (q, q_last), and divides by q_last
+        (divide_and_round_q_last), folding c2*s^2 into (c0, c1) with
+        only additive noise ~ k*n*B/1 (digit noise / P)."""
+        p = self.params
+        ct3 = jnp.asarray(ct3)
+        base = (3, p.r - 1, p.n)
+        if ct3.shape[-3:] != base or ct3.ndim not in (3, 4):
+            raise ValueError(f"ct3: expected (3, r-1, n) or (J, 3, r-1, n),"
+                             f" got {ct3.shape}")
+        ct3 = check_residues("ct3", ct3, ct3.shape)
+        rlk = check_residues("rlk", rlk, (2, p.r - 1, p.r, p.n),
+                             "relin_keygen returns (2, r-1, r, n)")
+        cc = _keyswitch_jit(ct3[..., 2, :, :], rlk, self.ms_full,
+                            self.ms_drop, self.ms_last, self.tables_full,
+                            self.ftab_full, self.dr_consts, self.backend)
+        return _ct_add_jit(ct3[..., :2, :, :], cc, self.ms_drop)
+
+    def _mult_setup(self) -> "_MultSetup":
+        st = self._mult_cache.get("setup")
+        if st is None:
+            p = self.params
+            aux = behz.AuxBase.build(p)
+            mc = behz.MultConsts.build(p, aux)
+            use_pallas = self.backend != "xla"
+            st = _MultSetup(
+                mc=mc,
+                tables_bsk=ntt.NTTTables.build(aux.bsk, aux.bsk_psi, p.n),
+                ftab_bsk=(ntt_pallas.FourStepTables.build(
+                    aux.bsk, aux.bsk_psi, p.n) if use_pallas else None),
+                p_mont=jnp.asarray(
+                    [[hm.to_mont(p.q[-1] % qj, qj)] for qj in p.q[:-1]],
+                    dtype=U64),
+            )
+            self._mult_cache["setup"] = st
+        return st
 
     def _ct_pair(self, op, ct_a, ct_b):
         p = self.params
@@ -474,6 +581,122 @@ def _encrypt_one_drawn(u, e, pk, m_poly, ms_full, ms_drop, ms_last, tables,
     return bfv_tail.encrypt_fused(u_ntt, pk, e, m_poly.astype(U64),
                                   ftab, tail_consts,
                                   interpret=(backend == "pallas-interpret"))
+
+
+@dataclasses.dataclass(frozen=True)
+class _MultSetup:
+    """Lazily-built EvalMult state for one context (BFVContext._mult_setup):
+    BEHZ constants, NTT tables over the auxiliary base, and the
+    key-switching scalar bank."""
+    mc: behz.MultConsts
+    tables_bsk: ntt.NTTTables
+    ftab_bsk: object                   # FourStepTables | None
+    p_mont: jax.Array                  # (r-1, 1) q_last * R mod q_j
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _mult_jit(a, b, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
+              backend: str):
+    """BEHZ EvalMult core: (…, 2, k, n) x2 -> (…, 3, k, n).
+
+    Tensor product over the combined base q ∪ Bsk in NTT form, then
+    round(t/q * .) back into base q (behz.scale_and_round).  The base-q
+    half multiplies the ORIGINAL residues (they are congruent mod q to
+    the centered lifts Bsk sees — standard BEHZ)."""
+    ab = behz.rns_to_bsk(a, mc)                      # (…, 2, k+1, n)
+    bb = behz.rns_to_bsk(b, mc)
+    fa_q = _fwd(a, tables_q, ftab_q, ms_q, backend)
+    fb_q = _fwd(b, tables_q, ftab_q, ms_q, backend)
+    fa_b = _fwd(ab, tables_bsk, ftab_bsk, mc.ms_bsk, backend)
+    fb_b = _fwd(bb, tables_bsk, ftab_bsk, mc.ms_bsk, backend)
+
+    def tensor(fa, fb, tables, ftab, ms):
+        a0, a1 = fa[..., 0, :, :], fa[..., 1, :, :]
+        b0, b1 = fb[..., 0, :, :], fb[..., 1, :, :]
+        c0 = _inv_mul(a0, b0, tables, ftab, ms, backend)
+        mid = modmath.add_mod(ntt.dyadic_mul(a0, b1, ms),
+                              ntt.dyadic_mul(a1, b0, ms), ms.q)
+        c1 = _inv(mid, tables, ftab, ms, backend)
+        c2 = _inv_mul(a1, b1, tables, ftab, ms, backend)
+        return jnp.stack([c0, c1, c2], axis=-3)
+
+    pq = tensor(fa_q, fb_q, tables_q, ftab_q, ms_q)
+    pb = tensor(fa_b, fb_b, tables_bsk, ftab_bsk, mc.ms_bsk)
+    return behz.scale_and_round(pq, pb, mc)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
+def _relin_keygen_jit(nonce, sk, ms, tables, ftab, p_mont, n: int, r: int,
+                      backend: str):
+    """k = r-1 switching keys: rlk0_j = NTT(-(a_j s + e_j)) + P*s^2 at
+    modulus row j (P = q_last; [P*q-tilde_j]_{q_i} = P*delta_ij,
+    [.]_{q_last} = 0).  Each key is exactly keygen's pk0 pipeline
+    (bfv_keygen.cuh:120-145) plus one scalar multiply-add."""
+    k = r - 1
+    ks = "pallas" if backend == "pallas" else "xla"
+    a, e = sampling.relin_draws(n, r, k, ms, nonce=nonce, ks_impl=ks)
+    hs2 = ntt.dyadic_mul(sk, sk, ms)                 # NTT-domain s^2
+    rlk0 = []
+    for j in range(k):
+        x = _inv_mul(a[j], sk, tables, ftab, ms, backend)
+        x = _fwd_addneg(x, e[j], tables, ftab, ms, backend)
+        term = modmath.mont_mul(hs2[j], p_mont[j, 0],
+                                ms.q[j, 0], ms.qinv_neg[j, 0])
+        x = x.at[j].set(modmath.add_mod(x[j], term, ms.q[j, 0]))
+        rlk0.append(x)
+    return jnp.stack([jnp.stack(rlk0), a])           # (2, k, r, n)
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _keyswitch_jit(c2, rlk, ms_full, ms_drop, ms_last, tables, ftab,
+                   dr_consts, backend: str):
+    """c2 (…, k, n) -> (…, 2, k, n) via the rlk digits.
+
+    The RNS digits d_j = [c2]_{q_j} are lifted to the full base by plain
+    u64 reduction (modmath.mod_u64 — each digit is one 60-bit residue),
+    transformed, multiplied into both key rows, and the accumulated
+    (…, 2, r, n) pair divided by q_last with encryption's own
+    divide_and_round_q_last kernel."""
+    k = c2.shape[-2]
+    d = modmath.mod_u64(c2[..., :, None, :], ms_full.q, ms_full.nu)
+    dhat = _fwd(d, tables, ftab, ms_full, backend)   # (…, k, r, n)
+    acc0 = acc1 = None
+    for j in range(k):
+        dj = dhat[..., j, :, :]
+        t0 = ntt.dyadic_mul(dj, rlk[0, j], ms_full)
+        t1 = ntt.dyadic_mul(dj, rlk[1, j], ms_full)
+        acc0 = t0 if acc0 is None else modmath.add_mod(acc0, t0, ms_full.q)
+        acc1 = t1 if acc1 is None else modmath.add_mod(acc1, t1, ms_full.q)
+    cc = _inv(jnp.stack([acc0, acc1], axis=-3), tables, ftab, ms_full,
+              backend)
+    return poly.divide_and_round_q_last(cc, dr_consts, ms_drop, ms_last)
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _decrypt_many_jit(sk_drop, ct, ms, tables, ftab, dec_consts,
+                      dec_tail_consts, backend: str):
+    """Extended-ciphertext decryption: c0 + sum_{i>=1} c_i * s^i.
+
+    The s-powers and the accumulation happen in the NTT domain, so one
+    INTT serves all components; the tail is decryption's own
+    (bfv_decryption.cuh:76-138)."""
+    L = ct.shape[0]
+    acc = None
+    pw = sk_drop
+    for i in range(1, L):
+        f = _fwd(ct[i], tables, ftab, ms, backend)
+        t = ntt.dyadic_mul(f, pw, ms)
+        acc = t if acc is None else modmath.add_mod(acc, t, ms.q)
+        if i + 1 < L:
+            pw = ntt.dyadic_mul(pw, sk_drop, ms)
+    x = _inv(acc, tables, ftab, ms, backend)
+    if backend == "xla":
+        x = poly.poly_add(x, ct[0], ms)
+        x = poly.poly_mul_scalar_mont(x, dec_consts.prod_t_gamma_mont, ms)
+        x = poly.poly_mul_scalar_mont(x, dec_consts.inv_punctured_mont, ms)
+        return poly.fast_convert_and_round(x, dec_consts)
+    return bfv_tail.decrypt_tail(x, ct[0], dec_tail_consts,
+                                 interpret=(backend == "pallas-interpret"))
 
 
 @functools.partial(jax.jit, static_argnames=("backend", "fusion"))

@@ -472,3 +472,43 @@ def encrypt_draws_batch(n: int, r: int, ms: modmath.ModulusSet,
 
     e = jnp.stack([gauss(n), gauss(5 * n)], axis=1)        # (J, 2, r, n)
     return u, e
+
+
+# ---------------------------------------------------------------------------
+# Relinearization-key draws (beyond the reference, which has no EvalMult).
+#
+# The streams run under a DIFFERENT Salsa20 key byte (0x02 instead of the
+# reference's fixed 0x01, distributions.cuh:261), so every relin-keygen
+# stream is cryptographically independent of every keygen/encrypt stream
+# at ANY nonce pair — no byte-offset bookkeeping can collide them.  The
+# nonce inherits the keygen-half domain mapping (bit 63 clear).
+# ---------------------------------------------------------------------------
+
+RELIN_KEY_BYTE = 0x02
+
+
+def relin_entropy_bytes(n: int, r: int, k: int) -> int:
+    """Per-key layout: 8*r*n uniform bytes then 4*n gaussian bytes."""
+    return k * (8 * r * n + 4 * n)
+
+
+def relin_draws(n: int, r: int, k: int, ms: modmath.ModulusSet, nonce=0,
+                ks_impl: str | None = None):
+    """Draws for the k relinearization keys: (a (k, r, n) uniform
+    NTT-domain residues, e (k, r, n) gaussian residues).  Key j's uniform
+    u64 lanes start at byte j*(8rn+4n), its gaussian u32 lanes at
+    j*(8rn+4n) + 8rn — one keystream call for all keys."""
+    nbytes = relin_entropy_bytes(n, r, k)
+    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
+                                       key_byte=RELIN_KEY_BYTE,
+                                       nonce=keygen_nonce(nonce),
+                                       impl=ks_impl)
+    stride = 8 * r * n + 4 * n
+    a = jnp.stack([
+        uniform(salsa20.block_words_u64(bw, j * stride, r * n).reshape(r, n),
+                ms)
+        for j in range(k)])
+    e = jnp.stack([
+        gaussian(salsa20.block_words_u32(bw, j * stride + 8 * r * n, n), ms)
+        for j in range(k)])
+    return a, e

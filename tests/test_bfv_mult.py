@@ -1,0 +1,146 @@
+"""Homomorphic multiplication (EvalMult) + relinearization end-to-end.
+
+The oracle is the schoolbook negacyclic product mod t — multiplication is
+beyond the reference (it stops at encrypt/decrypt), so correctness is
+anchored to the scheme contract decrypt(mul(E(m1), E(m2))) == m1*m2 in
+R_t, exercised through the same keygen/encrypt/decrypt pipelines that ARE
+bit-exact against the reference's golden vectors (tests/test_bfv.py).
+"""
+
+import numpy as np
+import pytest
+
+from ntt_cuda_tpu.models import bfv
+from ntt_cuda_tpu.params import get_bfv_params
+from ntt_cuda_tpu.utils import golden
+
+
+@pytest.fixture(scope="module")
+def ctx4k():
+    return bfv.BFVContext.build(get_bfv_params("4k_3q"), backend="xla")
+
+
+@pytest.fixture(scope="module")
+def keys4k(ctx4k):
+    sk, pk = ctx4k.keygen()
+    rlk = ctx4k.relin_keygen(sk)
+    return sk, pk, rlk
+
+
+def _msgs(rng, t, n, j=2):
+    return rng.integers(0, t, size=(j, n), dtype=np.uint64)
+
+
+def _negacyclic_t(m1, m2, t, n):
+    return golden.schoolbook_negacyclic(m1.tolist(), m2.tolist(), t, n)
+
+
+def test_mul_3comp_decrypt(ctx4k, keys4k, rng):
+    p = ctx4k.params
+    sk, pk, _ = keys4k
+    m1, m2 = _msgs(rng, p.t, p.n)
+    ct3 = ctx4k.mul(ctx4k.encrypt(pk, m1, nonce=1),
+                    ctx4k.encrypt(pk, m2, nonce=2))
+    assert ct3.shape == (3, p.r - 1, p.n)
+    out = np.asarray(ctx4k.decrypt(sk, ct3))
+    assert out.tolist() == _negacyclic_t(m1, m2, p.t, p.n)
+
+
+def test_mul_relinearized(ctx4k, keys4k, rng):
+    p = ctx4k.params
+    sk, pk, rlk = keys4k
+    m1, m2 = _msgs(rng, p.t, p.n)
+    ct = ctx4k.mul(ctx4k.encrypt(pk, m1, nonce=3),
+                   ctx4k.encrypt(pk, m2, nonce=4), rlk=rlk)
+    assert ct.shape == (2, p.r - 1, p.n)
+    out = np.asarray(ctx4k.decrypt(sk, ct))
+    assert out.tolist() == _negacyclic_t(m1, m2, p.t, p.n)
+
+
+@pytest.mark.slow
+def test_mul_batched(ctx4k, keys4k, rng):
+    """(J, 2, r-1, n) batches broadcast through mul() and match the
+    per-message results bit-for-bit."""
+    p = ctx4k.params
+    sk, pk, rlk = keys4k
+    ms = _msgs(rng, p.t, p.n, 4)
+    cts = np.stack([np.asarray(ctx4k.encrypt(pk, ms[j], nonce=10 + j))
+                    for j in range(4)])
+    batched = np.asarray(ctx4k.mul(cts[:2], cts[2:]))
+    assert batched.shape == (2, 3, p.r - 1, p.n)
+    for j in range(2):
+        one = np.asarray(ctx4k.mul(cts[j], cts[2 + j]))
+        np.testing.assert_array_equal(batched[j], one)
+
+
+def test_mul_then_add(ctx4k, keys4k, rng):
+    """Compose EvalMult with EvalAdd: m1*m2 + m3."""
+    p = ctx4k.params
+    sk, pk, rlk = keys4k
+    m1, m2, m3 = _msgs(rng, p.t, p.n, 3)
+    prod = ctx4k.mul(ctx4k.encrypt(pk, m1, nonce=21),
+                     ctx4k.encrypt(pk, m2, nonce=22), rlk=rlk)
+    total = ctx4k.add(prod, ctx4k.encrypt(pk, m3, nonce=23))
+    out = np.asarray(ctx4k.decrypt(sk, total))
+    exp = [(a + int(b)) % p.t
+           for a, b in zip(_negacyclic_t(m1, m2, p.t, p.n), m3)]
+    assert out.tolist() == exp
+
+
+@pytest.mark.slow
+def test_mul_depth2_8k(rng):
+    """Two chained multiplications ((m1*m2)*m3) inside the 8k_4q noise
+    budget, relinearizing after each."""
+    p = get_bfv_params("8k_4q")
+    ctx = bfv.BFVContext.build(p, backend="xla")
+    sk, pk = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    m1, m2, m3 = _msgs(rng, p.t, p.n, 3)
+    c12 = ctx.mul(ctx.encrypt(pk, m1, nonce=1),
+                  ctx.encrypt(pk, m2, nonce=2), rlk=rlk)
+    c123 = ctx.mul(c12, ctx.encrypt(pk, m3, nonce=3), rlk=rlk)
+    out = np.asarray(ctx.decrypt(sk, c123))
+    m12 = np.array(_negacyclic_t(m1, m2, p.t, p.n), dtype=np.uint64)
+    exp = _negacyclic_t(m12, m3, p.t, p.n)
+    assert out.tolist() == exp
+
+
+@pytest.mark.slow
+def test_mul_pallas_interpret_bitexact(ctx4k, keys4k, rng):
+    """The pallas kernel path computes bit-identical mul/rlk results."""
+    p = ctx4k.params
+    sk, pk, rlk = keys4k
+    ctp = bfv.BFVContext.build(p, backend="pallas-interpret")
+    m1, m2 = _msgs(rng, p.t, p.n)
+    ct1 = ctx4k.encrypt(pk, m1, nonce=31)
+    ct2 = ctx4k.encrypt(pk, m2, nonce=32)
+    np.testing.assert_array_equal(np.asarray(ctp.mul(ct1, ct2)),
+                                  np.asarray(ctx4k.mul(ct1, ct2)))
+    np.testing.assert_array_equal(np.asarray(ctp.relin_keygen(sk)),
+                                  np.asarray(rlk))
+
+
+def test_relin_stream_independent_of_keygen(ctx4k):
+    """Relin draws run under their own Salsa20 key byte: same nonce as
+    keygen, different streams."""
+    from ntt_cuda_tpu.ops import salsa20, sampling
+    p = ctx4k.params
+    kg = salsa20.keystream_block_words(4, nonce=0)
+    rl = salsa20.keystream_block_words(4, key_byte=sampling.RELIN_KEY_BYTE,
+                                       nonce=0)
+    assert not np.array_equal(np.asarray(kg), np.asarray(rl))
+
+
+def test_validation_errors(ctx4k, keys4k):
+    p = ctx4k.params
+    sk, pk, rlk = keys4k
+    ct = ctx4k.encrypt(pk, np.zeros(p.n, dtype=np.uint64), nonce=40)
+    with pytest.raises(ValueError):
+        ctx4k.relinearize(np.asarray(ct), rlk)       # (2, ...) not (3, ...)
+    ct3 = ctx4k.mul(ct, ct)
+    with pytest.raises(ValueError):
+        ctx4k.relinearize(ct3, np.zeros((2, 2, 2, p.n), dtype=np.uint64))
+    with pytest.raises(ValueError):
+        ctx4k.mul(ct, np.asarray(ct3))               # mismatched shapes
+    with pytest.raises(ValueError):
+        ctx4k.relin_keygen(sk, nonce=1 << 63)        # reserved bit
