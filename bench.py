@@ -406,6 +406,70 @@ def _bench_bfv_batched_one(bfv, get_bfv_params, profiling, jax, jnp,
     return row
 
 
+def bench_bfv_mult(set_names):
+    """EvalMult / EvalSquare latency (BEHZ pipeline + relinearization).
+    No reference baseline exists (the CUDA repo stops at encrypt/decrypt),
+    so raw us only; the chained loop feeds each product back in as the
+    next multiplicand (all outputs consumed)."""
+    import jax
+    import jax.numpy as jnp
+    from ntt_cuda_tpu.models import bfv
+    from ntt_cuda_tpu.params import get_bfv_params
+    from ntt_cuda_tpu.utils import profiling
+
+    results = {}
+    for name in set_names:
+        if _over_budget():
+            _log(f"[bench] over time budget, skipping mult {name}")
+            continue
+        try:
+            results[name] = _bench_bfv_mult_one(
+                bfv, get_bfv_params, profiling, jax, jnp, name)
+        except Exception as exc:
+            _log(f"[bench] mult {name}: failed ({exc!r:.300}); "
+                 "skipping set")
+    return results
+
+
+def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
+    p = get_bfv_params(name)
+    n, r = p.n, p.r
+    t0 = time.perf_counter()
+    m = jnp.asarray(np.arange(n, dtype=np.uint64) % p.t)
+    ctx = bfv.BFVContext.build(p)
+    sk, pk = ctx.keygen()
+    rlk = ctx.relin_keygen(sk)
+    ct1 = ctx.encrypt(pk, m, nonce=1)
+    ct2 = ctx.encrypt(pk, m, nonce=2)
+    jax.block_until_ready(ctx.mul(ct1, ct2, rlk=rlk))  # probe kernels
+
+    @jax.jit
+    def mul_step(c, k):
+        def body(_, cc):
+            return ctx.mul(cc, ct2, rlk=rlk)
+        return jax.lax.fori_loop(0, k, body, c)
+
+    @jax.jit
+    def sq_step(c, k):
+        def body(_, cc):
+            return ctx.square(cc, rlk=rlk)
+        return jax.lax.fori_loop(0, k, body, c)
+
+    hi = max(16, (1 << 22) // (n * r))
+    kw = dict(inner_lo=max(2, hi // 8), inner_hi=hi, reps=3, epochs=3)
+    t_mul = profiling.time_chained_dynamic(mul_step, ct1, **kw)
+    t_sq = profiling.time_chained_dynamic(sq_step, ct1, **kw)
+    if min(t_mul, t_sq) <= 0:
+        raise RuntimeError("degenerate slope")
+    row = {
+        "mul_relin_us": round(t_mul * 1e6, 2),
+        "square_relin_us": round(t_sq * 1e6, 2),
+    }
+    _log(f"[bench] mult {name}: mul {t_mul*1e6:.1f} sq {t_sq*1e6:.1f} us "
+         f"({time.perf_counter()-t0:.0f}s incl. compiles)")
+    return row
+
+
 def _arm_backend_watchdog() -> "threading.Event":
     """The relay-backed TPU backend can hang at init (observed: a
     jax.devices() that never returns).  If the first backend touch hasn't
@@ -545,6 +609,9 @@ def main() -> None:
             bsets = os.environ.get("BENCH_BATCH_SETS", "32k_9q,16k_5q")
             _section("bfv_batched", detail, "bfv_batched",
                      bench_bfv_batched, [s for s in bsets.split(",") if s])
+            msets = os.environ.get("BENCH_MULT_SETS", "16k_5q,32k_9q")
+            _section("bfv_mult", detail, "bfv_mult",
+                     bench_bfv_mult, [s for s in msets.split(",") if s])
     finally:
         if "sections_failed" in detail:
             headline["sections_failed"] = detail["sections_failed"]

@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import params as params_mod
 from ..ops import behz, bfv_tail, fused_ops, modmath, ntt, ntt_pallas, \
@@ -33,6 +34,17 @@ from ..ops import behz, bfv_tail, fused_ops, modmath, ntt, ntt_pallas, \
 from ..utils import hostmath as hm
 
 U64 = jnp.uint64
+
+
+def _as_array(name: str, x):
+    """jnp.asarray with the same actionable TypeError as check_residues
+    (for call sites that must inspect the shape before knowing the full
+    expected one, e.g. decrypt's variable component count)."""
+    try:
+        return jnp.asarray(x)
+    except (TypeError, ValueError) as e:
+        raise TypeError(f"{name}: expected an array, got "
+                        f"{type(x).__name__} ({e})") from None
 
 
 def check_residues(name: str, x, shape: tuple, hint: str = ""):
@@ -250,9 +262,10 @@ class BFVContext:
         c_{L-1}*s^{L-1}, the standard BFV extended-ciphertext form)."""
         p = self.params
         sk = self._sk_drop(sk)
-        ct = jnp.asarray(ct)
+        ct = _as_array("ct", ct)
         if ct.ndim != 3 or ct.shape[0] < 2:
-            raise ValueError(f"ct: expected (L>=2, r-1, n), got {ct.shape}")
+            raise ValueError(f"ct: expected shape (L>=2, r-1, n), got "
+                             f"{ct.shape}")
         L = ct.shape[0]
         ct = check_residues("ct", ct, (L, p.r - 1, p.n),
                             "encrypt returns (2, r-1, n), mul() (3, r-1, n)"
@@ -359,6 +372,19 @@ class BFVContext:
             return ct3
         return self.relinearize(ct3, rlk)
 
+    def square(self, ct, rlk=None):
+        """Homomorphic squaring: mul(ct, ct) at ~half the transform cost
+        (one operand's forwards over q and Bsk serve both sides, and the
+        cross term is 2*a0*a1).  Bit-identical to mul(ct, ct)."""
+        a, _ = self._ct_pair("square", ct, ct)
+        st = self._mult_setup()
+        ct3 = _square_jit(a, st.mc, self.tables_drop, self.ftab_drop,
+                          st.tables_bsk, st.ftab_bsk, self.ms_drop,
+                          self.backend)
+        if rlk is None:
+            return ct3
+        return self.relinearize(ct3, rlk)
+
     def relin_keygen(self, sk, nonce=0):
         """Generate relinearization keys for mul(): (2, r-1, r, n),
         NTT-domain.
@@ -391,7 +417,7 @@ class BFVContext:
         (divide_and_round_q_last), folding c2*s^2 into (c0, c1) with
         only additive noise ~ k*n*B/1 (digit noise / P)."""
         p = self.params
-        ct3 = jnp.asarray(ct3)
+        ct3 = _as_array("ct3", ct3)
         base = (3, p.r - 1, p.n)
         if ct3.shape[-3:] != base or ct3.ndim not in (3, 4):
             raise ValueError(f"ct3: expected (3, r-1, n) or (J, 3, r-1, n),"
@@ -403,6 +429,56 @@ class BFVContext:
                             self.ms_drop, self.ms_last, self.tables_full,
                             self.ftab_full, self.dr_consts, self.backend)
         return _ct_add_jit(ct3[..., :2, :, :], cc, self.ms_drop)
+
+    def galois_keygen(self, sk, elts, nonce=0):
+        """Switching keys for the Galois automorphisms x -> x^g:
+        {g: (2, r-1, r, n)} for each g in `elts` (odd, 0 < g < 2n).
+
+        Beyond the reference (SEAL's galois_keys): enables homomorphic
+        coefficient permutations via apply_galois().  Draws run under
+        their own Salsa20 key byte (sampling.GALOIS_KEY_BYTE) with a
+        per-element block layout — one keystream per call, independent
+        of keygen/encrypt/relin streams at any nonce.  The stream block
+        an element consumes depends on its rank in sorted(elts): reuse
+        the same nonce only with the same element set."""
+        sampling.check_user_nonce(nonce)
+        p = self.params
+        sk = check_residues("sk", sk, (p.r, p.n),
+                            "keygen returns the NTT-domain (r, n) sk")
+        elts = sorted({int(g) for g in elts})
+        maps = [poly.galois_maps(p.n, g) for g in elts]  # validates each g
+        perms = jnp.asarray(np.stack([m[0] for m in maps]))
+        negs = jnp.asarray(np.stack([m[1] for m in maps]))
+        keys = _galois_keygen_jit(jnp.asarray(nonce, U64), sk, perms, negs,
+                                  self.ms_full, self.tables_full,
+                                  self.ftab_full, self._p_mont_bank(),
+                                  p.n, p.r, self.backend)
+        return {g: keys[t] for t, g in enumerate(elts)}
+
+    def apply_galois(self, ct, g, gk):
+        """Homomorphic automorphism: decrypts to tau_g(m), i.e.
+        out[j] = ±m[(j * g^-1 mod 2n) mod n] with the negacyclic sign,
+        reduced mod t.  `gk` is galois_keygen(...)[g]."""
+        p = self.params
+        ct = check_residues("ct", ct, (2, p.r - 1, p.n),
+                            "encrypt returns (2, r-1, n)")
+        gk = check_residues("gk", gk, (2, p.r - 1, p.r, p.n),
+                            "pass one key from galois_keygen()")
+        perm, neg = poly.galois_maps(p.n, int(g))
+        return _apply_galois_jit(ct, jnp.asarray(perm), jnp.asarray(neg),
+                                 gk, self.ms_full, self.ms_drop,
+                                 self.ms_last, self.tables_full,
+                                 self.ftab_full, self.dr_consts,
+                                 self.backend)
+
+    def _p_mont_bank(self):
+        pm = self._mult_cache.get("p_mont")
+        if pm is None:
+            p = self.params
+            pm = jnp.asarray([[hm.to_mont(p.q[-1] % qj, qj)]
+                              for qj in p.q[:-1]], dtype=U64)
+            self._mult_cache["p_mont"] = pm
+        return pm
 
     def _mult_setup(self) -> "_MultSetup":
         st = self._mult_cache.get("setup")
@@ -416,9 +492,7 @@ class BFVContext:
                 tables_bsk=ntt.NTTTables.build(aux.bsk, aux.bsk_psi, p.n),
                 ftab_bsk=(ntt_pallas.FourStepTables.build(
                     aux.bsk, aux.bsk_psi, p.n) if use_pallas else None),
-                p_mont=jnp.asarray(
-                    [[hm.to_mont(p.q[-1] % qj, qj)] for qj in p.q[:-1]],
-                    dtype=U64),
+                p_mont=self._p_mont_bank(),
             )
             self._mult_cache["setup"] = st
         return st
@@ -625,26 +699,91 @@ def _mult_jit(a, b, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
     return behz.scale_and_round(pq, pb, mc)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
-def _relin_keygen_jit(nonce, sk, ms, tables, ftab, p_mont, n: int, r: int,
-                      backend: str):
-    """k = r-1 switching keys: rlk0_j = NTT(-(a_j s + e_j)) + P*s^2 at
-    modulus row j (P = q_last; [P*q-tilde_j]_{q_i} = P*delta_ij,
-    [.]_{q_last} = 0).  Each key is exactly keygen's pk0 pipeline
-    (bfv_keygen.cuh:120-145) plus one scalar multiply-add."""
-    k = r - 1
-    ks = "pallas" if backend == "pallas" else "xla"
-    a, e = sampling.relin_draws(n, r, k, ms, nonce=nonce, ks_impl=ks)
-    hs2 = ntt.dyadic_mul(sk, sk, ms)                 # NTT-domain s^2
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _square_jit(a, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
+                backend: str):
+    """EvalSquare: _mult_jit with one operand — half the forwards, and
+    the cross term computed once and doubled (bit-identical to
+    _mult_jit(a, a, ...) since the dyadic product is exact and
+    commutative)."""
+    ab = behz.rns_to_bsk(a, mc)
+    fa_q = _fwd(a, tables_q, ftab_q, ms_q, backend)
+    fa_b = _fwd(ab, tables_bsk, ftab_bsk, mc.ms_bsk, backend)
+
+    def tensor(fa, tables, ftab, ms):
+        a0, a1 = fa[..., 0, :, :], fa[..., 1, :, :]
+        c0 = _inv_mul(a0, a0, tables, ftab, ms, backend)
+        t = ntt.dyadic_mul(a0, a1, ms)
+        c1 = _inv(modmath.add_mod(t, t, ms.q), tables, ftab, ms, backend)
+        c2 = _inv_mul(a1, a1, tables, ftab, ms, backend)
+        return jnp.stack([c0, c1, c2], axis=-3)
+
+    pq = tensor(fa_q, tables_q, ftab_q, ms_q)
+    pb = tensor(fa_b, tables_bsk, ftab_bsk, mc.ms_bsk)
+    return behz.scale_and_round(pq, pb, mc)
+
+
+def _kskeygen_body(a, e, sk, target_hat, ms, tables, ftab, p_mont,
+                   backend: str):
+    """k switching keys encrypting `target_hat` (an NTT-domain secret
+    polynomial — s^2 for relin, tau_g(s) for Galois) under sk:
+    ksk0_j = NTT(-(a_j s + e_j)) + P*target at modulus row j
+    (P = q_last; [P*q-tilde_j]_{q_i} = P*delta_ij, [.]_{q_last} = 0).
+    Each key is exactly keygen's pk0 pipeline (bfv_keygen.cuh:120-145)
+    plus one scalar multiply-add."""
+    k = a.shape[0]
     rlk0 = []
     for j in range(k):
         x = _inv_mul(a[j], sk, tables, ftab, ms, backend)
         x = _fwd_addneg(x, e[j], tables, ftab, ms, backend)
-        term = modmath.mont_mul(hs2[j], p_mont[j, 0],
+        term = modmath.mont_mul(target_hat[j], p_mont[j, 0],
                                 ms.q[j, 0], ms.qinv_neg[j, 0])
         x = x.at[j].set(modmath.add_mod(x[j], term, ms.q[j, 0]))
         rlk0.append(x)
     return jnp.stack([jnp.stack(rlk0), a])           # (2, k, r, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
+def _relin_keygen_jit(nonce, sk, ms, tables, ftab, p_mont, n: int, r: int,
+                      backend: str):
+    """Relinearization keys: the switching-key body with target s^2."""
+    k = r - 1
+    ks = "pallas" if backend == "pallas" else "xla"
+    a, e = sampling.relin_draws(n, r, k, ms, nonce=nonce, ks_impl=ks)
+    hs2 = ntt.dyadic_mul(sk, sk, ms)                 # NTT-domain s^2
+    return _kskeygen_body(a, e, sk, hs2, ms, tables, ftab, p_mont, backend)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
+def _galois_keygen_jit(nonce, sk, perms, negs, ms, tables, ftab, p_mont,
+                       n: int, r: int, backend: str):
+    """Galois switching keys for E elements: target tau_g(s), computed by
+    INTT(sk) -> coefficient-domain automorphism -> forward NTT (one INTT
+    shared by all elements)."""
+    E = perms.shape[0]
+    k = r - 1
+    ks = "pallas" if backend == "pallas" else "xla"
+    a, e = sampling.galois_draws(n, r, k, E, ms, nonce=nonce, ks_impl=ks)
+    s_coef = _inv(sk, tables, ftab, ms, backend)
+    out = []
+    for t in range(E):
+        ts = poly.galois_apply(s_coef, perms[t], negs[t], ms)
+        ts_hat = _fwd(ts, tables, ftab, ms, backend)
+        out.append(_kskeygen_body(a[t], e[t], sk, ts_hat, ms, tables, ftab,
+                                  p_mont, backend))
+    return jnp.stack(out)                            # (E, 2, k, r, n)
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _apply_galois_jit(ct, perm, neg, gk, ms_full, ms_drop, ms_last, tables,
+                      ftab, dr_consts, backend: str):
+    """tau_g on both ciphertext components (one gather + conditional
+    negate), then key-switch the permuted c1 from tau_g(s) back to s."""
+    tc = poly.galois_apply(ct, perm, neg, ms_drop)
+    cc = _keyswitch_jit(tc[1], gk, ms_full, ms_drop, ms_last, tables, ftab,
+                        dr_consts, backend)
+    c0 = modmath.add_mod(tc[0], cc[0], ms_drop.q)
+    return jnp.stack([c0, cc[1]])
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))

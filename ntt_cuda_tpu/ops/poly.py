@@ -246,3 +246,33 @@ def fast_convert_and_round(c1, dc: DecryptConsts):
     # dec_round_kernel: `> gamma/2` (strict) branch
     corr = jnp.where(x_g > dc.gamma_div_2, x_t + (dc.gamma - x_g), x_t - x_g)
     return corr & mask
+
+
+# ---------------------------------------------------------------------------
+# Galois automorphisms a(x) -> a(x^g) mod x^n + 1 (beyond the reference:
+# the SEAL evaluator's apply_galois, needed for rotation-style homomorphic
+# computation; the reference stops at encrypt/decrypt).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def galois_maps(n: int, g: int) -> tuple[np.ndarray, np.ndarray]:
+    """(perm, neg) for the automorphism tau_g: out[j] = ±a[perm[j]].
+
+    For output index j the unique source i in [0, n) with i*g === j or
+    j + n (mod 2n) is i0 mod n where i0 = j * g^-1 mod 2n; the negacyclic
+    wraparound sign is negative iff i0 >= n.  g must be odd (the Galois
+    group of the 2n-th cyclotomic field), 0 < g < 2n."""
+    if not (0 < g < 2 * n) or g % 2 == 0:
+        raise ValueError(f"galois element must be odd in (0, {2 * n}), "
+                         f"got {g}")
+    ginv = pow(g, -1, 2 * n)
+    i0 = (np.arange(n, dtype=np.int64) * ginv) % (2 * n)
+    return (i0 % n).astype(np.int32), i0 >= n
+
+
+def galois_apply(x, perm, neg, ms: ModulusSet):
+    """Apply tau_g to (..., r, n) residue tensors: one gather on the
+    coefficient axis plus a conditional modular negate."""
+    y = x[..., perm]
+    return jnp.where(neg, modmath.negate_mod(y, ms.q), y)

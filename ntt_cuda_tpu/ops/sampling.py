@@ -512,3 +512,31 @@ def relin_draws(n: int, r: int, k: int, ms: modmath.ModulusSet, nonce=0,
         gaussian(salsa20.block_words_u32(bw, j * stride + 8 * r * n, n), ms)
         for j in range(k)])
     return a, e
+
+
+GALOIS_KEY_BYTE = 0x03
+
+
+def galois_draws(n: int, r: int, k: int, n_elts: int,
+                 ms: modmath.ModulusSet, nonce=0,
+                 ks_impl: str | None = None):
+    """Draws for `n_elts` Galois switching keys, each k digits:
+    (a (E, k, r, n), e (E, k, r, n)).  Same per-key layout as
+    relin_draws, element t's block at byte offset t*k*(8rn+4n), under
+    key byte 0x03 — independent of the keygen/encrypt (0x01) and relin
+    (0x02) stream families at any nonce."""
+    stride = 8 * r * n + 4 * n
+    nbytes = n_elts * k * stride
+    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
+                                       key_byte=GALOIS_KEY_BYTE,
+                                       nonce=keygen_nonce(nonce),
+                                       impl=ks_impl)
+    a = jnp.stack([jnp.stack([
+        uniform(salsa20.block_words_u64(
+            bw, (t * k + j) * stride, r * n).reshape(r, n), ms)
+        for j in range(k)]) for t in range(n_elts)])
+    e = jnp.stack([jnp.stack([
+        gaussian(salsa20.block_words_u32(
+            bw, (t * k + j) * stride + 8 * r * n, n), ms)
+        for j in range(k)]) for t in range(n_elts)])
+    return a, e

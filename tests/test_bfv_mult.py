@@ -73,6 +73,7 @@ def test_mul_batched(ctx4k, keys4k, rng):
         np.testing.assert_array_equal(batched[j], one)
 
 
+@pytest.mark.slow
 def test_mul_then_add(ctx4k, keys4k, rng):
     """Compose EvalMult with EvalAdd: m1*m2 + m3."""
     p = ctx4k.params
@@ -144,3 +145,46 @@ def test_validation_errors(ctx4k, keys4k):
         ctx4k.mul(ct, np.asarray(ct3))               # mismatched shapes
     with pytest.raises(ValueError):
         ctx4k.relin_keygen(sk, nonce=1 << 63)        # reserved bit
+
+
+def test_square(ctx4k, keys4k, rng):
+    """square() decrypts to m^2 in R_t and is bit-identical to
+    mul(ct, ct)."""
+    p = ctx4k.params
+    sk, pk, rlk = keys4k
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct = ctx4k.encrypt(pk, m, nonce=50)
+    sq3 = ctx4k.square(ct)
+    np.testing.assert_array_equal(np.asarray(sq3),
+                                  np.asarray(ctx4k.mul(ct, ct)))
+    out = np.asarray(ctx4k.decrypt(sk, ctx4k.relinearize(sq3, rlk)))
+    assert out.tolist() == _negacyclic_t(m, m, p.t, p.n)
+
+
+def test_apply_galois(ctx4k, keys4k, rng):
+    """decrypt(apply_galois(E(m), g)) == tau_g(m) mod t for a rotation
+    generator and the conjugation element."""
+    from ntt_cuda_tpu.ops import poly
+    p = ctx4k.params
+    sk, pk, _ = keys4k
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct = ctx4k.encrypt(pk, m, nonce=60)
+    elts = [3, 2 * p.n - 1]
+    gks = ctx4k.galois_keygen(sk, elts, nonce=61)
+    for g in elts:
+        out = np.asarray(ctx4k.decrypt(sk, ctx4k.apply_galois(ct, g,
+                                                              gks[g])))
+        perm, neg = poly.galois_maps(p.n, g)
+        exp = [(p.t - int(m[perm[j]])) % p.t if neg[j] else int(m[perm[j]])
+               for j in range(p.n)]
+        assert out.tolist() == exp
+
+
+def test_galois_element_validation(ctx4k, keys4k):
+    from ntt_cuda_tpu.ops import poly
+    p = ctx4k.params
+    sk, _, _ = keys4k
+    with pytest.raises(ValueError, match="odd"):
+        poly.galois_maps(p.n, 4)
+    with pytest.raises(ValueError, match="odd"):
+        ctx4k.galois_keygen(sk, [2 * p.n + 1])
