@@ -113,6 +113,32 @@ def cmd_demo(args) -> int:
         print(f"[demo] keygen  {t_kg*1e6:9.1f} us")
         print(f"[demo] encrypt {t_enc*1e6:9.1f} us")
         print(f"[demo] decrypt {t_dec*1e6:9.1f} us")
+    if args.mul:
+        from .utils import golden
+        m2 = jnp.asarray(rng.integers(0, params.t, params.n,
+                                      dtype=np.uint64))
+        ct2 = ctx.encrypt(pk, m2, nonce=1)
+        t0 = time.perf_counter()
+        rlk = ctx.relin_keygen(sk)
+        prod = ctx.mul(ct, ct2, rlk=rlk)
+        outp = np.asarray(ctx.decrypt(sk, prod))
+        t_first = time.perf_counter() - t0
+        exp = golden.schoolbook_negacyclic(
+            np.asarray(m).tolist(), np.asarray(m2).tolist(),
+            params.t, params.n)
+        okm = outp.tolist() == exp
+        print(f"[demo] decrypt(mul(ct, ct2)) == m*m2: "
+              f"{'PASS' if okm else 'FAIL'} "
+              f"(first run incl. compile: {t_first:.1f}s)")
+        if not okm:
+            return 1
+        if args.time:
+            jax.block_until_ready(ctx.mul(ct, ct2, rlk=rlk))
+            t0 = time.perf_counter()
+            jax.block_until_ready(ctx.mul(ct, ct2, rlk=rlk))
+            print(f"[demo] mul+relin {(time.perf_counter()-t0)*1e6:9.1f} us"
+                  " (single dispatch incl. host latency; bench.py has the"
+                  " chained-slope number)")
     return 0
 
 
@@ -245,6 +271,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("demo", help="keygen->encrypt->decrypt + timings")
     p.add_argument("--time", action="store_true", help="per-phase timings")
+    p.add_argument("--mul", action="store_true",
+                   help="also drive EvalMult + relinearization")
     p.set_defaults(fn=cmd_demo)
 
     p = sub.add_parser("ntt-test", help="polymul vs schoolbook golden model")

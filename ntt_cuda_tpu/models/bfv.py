@@ -471,6 +471,54 @@ class BFVContext:
                                  self.ftab_full, self.dr_consts,
                                  self.backend)
 
+    def noise_budget(self, sk, ct) -> int:
+        """Invariant noise budget in bits (SEAL's
+        invariant_noise_budget): floor(log2(q / (2*|w|))) where
+        w = [t*(c0 + c1 s + ...)]_q centered — the number of further
+        noise-doubling operations the ciphertext survives; 0 means
+        decryption is no longer guaranteed.
+
+        The residue computation runs on device (the decrypt pipeline's
+        front without the rounding tail); the exact centered CRT
+        reconstruction and the max-norm run host-side in Python ints —
+        this is a diagnostic, not a hot-path op."""
+        p = self.params
+        sk = self._sk_drop(sk)
+        ct = _as_array("ct", ct)
+        if ct.ndim != 3 or ct.shape[0] < 2:
+            raise ValueError(f"ct: expected shape (L>=2, r-1, n), got "
+                             f"{ct.shape}")
+        L = ct.shape[0]
+        ct = check_residues("ct", ct, (L, p.r - 1, p.n))
+        t_mont = self._mult_cache.get("t_mont_drop")
+        if t_mont is None:
+            t_mont = jnp.asarray([[hm.to_mont(p.t % qj, qj)]
+                                  for qj in p.q[:-1]], dtype=U64)
+            self._mult_cache["t_mont_drop"] = t_mont
+        w = np.asarray(_noise_poly_jit(sk, ct, t_mont, self.ms_drop,
+                                       self.tables_drop, self.ftab_drop,
+                                       self.backend))
+        qs = [int(q) for q in p.q[: p.r - 1]]
+        q_prod = 1
+        for q in qs:
+            q_prod *= q
+        lifts = [(q_prod // q) * pow((q_prod // q) % q, -1, q)
+                 for q in qs]
+        max_w = 0
+        for i in range(p.n):
+            x = 0
+            for j in range(len(qs)):
+                x += int(w[j, i]) * lifts[j]
+            x %= q_prod
+            if x > q_prod // 2:
+                x = q_prod - x
+            if x > max_w:
+                max_w = x
+        if max_w == 0:
+            return q_prod.bit_length() - 1
+        budget = q_prod // (2 * max_w)
+        return max(0, budget.bit_length() - 1)
+
     def _p_mont_bank(self):
         pm = self._mult_cache.get("p_mont")
         if pm is None:
@@ -836,6 +884,24 @@ def _decrypt_many_jit(sk_drop, ct, ms, tables, ftab, dec_consts,
         return poly.fast_convert_and_round(x, dec_consts)
     return bfv_tail.decrypt_tail(x, ct[0], dec_tail_consts,
                                  interpret=(backend == "pallas-interpret"))
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _noise_poly_jit(sk_drop, ct, t_mont, ms, tables, ftab, backend: str):
+    """w = [t * (c0 + sum_i c_i s^i)]_q residues — the decrypt front
+    without the BEHZ rounding tail (noise_budget's device half)."""
+    L = ct.shape[0]
+    acc = None
+    pw = sk_drop
+    for i in range(1, L):
+        f = _fwd(ct[i], tables, ftab, ms, backend)
+        t = ntt.dyadic_mul(f, pw, ms)
+        acc = t if acc is None else modmath.add_mod(acc, t, ms.q)
+        if i + 1 < L:
+            pw = ntt.dyadic_mul(pw, sk_drop, ms)
+    x = _inv(acc, tables, ftab, ms, backend)
+    x = poly.poly_add(x, ct[0], ms)
+    return modmath.mont_mul(x, t_mont, ms.q, ms.qinv_neg)
 
 
 @functools.partial(jax.jit, static_argnames=("backend", "fusion"))

@@ -188,3 +188,21 @@ def test_galois_element_validation(ctx4k, keys4k):
         poly.galois_maps(p.n, 4)
     with pytest.raises(ValueError, match="odd"):
         ctx4k.galois_keygen(sk, [2 * p.n + 1])
+
+
+def test_noise_budget(ctx4k, keys4k, rng):
+    """SEAL-style invariant noise budget: positive and ample on fresh
+    ciphertexts, reduced but positive after a multiply, zero on garbage."""
+    p = ctx4k.params
+    sk, pk, rlk = keys4k
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct = ctx4k.encrypt(pk, m, nonce=70)
+    fresh = ctx4k.noise_budget(sk, ct)
+    assert fresh > 40                      # ~55 bits on 4k_3q
+    prod = ctx4k.mul(ct, ct, rlk=rlk)
+    after = ctx4k.noise_budget(sk, prod)
+    assert 0 < after < fresh
+    garbage = np.asarray(ct).copy()
+    garbage[0] ^= 1 << 20                  # break c0's RNS consistency
+    # the corrupted w is ~uniform in (-q/2, q/2): budget collapses to ~0
+    assert ctx4k.noise_budget(sk, garbage) <= 2
