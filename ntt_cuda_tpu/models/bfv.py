@@ -471,6 +471,43 @@ class BFVContext:
                                  self.ftab_full, self.dr_consts,
                                  self.backend)
 
+    def next_context(self) -> "BFVContext":
+        """The context one level down the modulus chain: same scheme over
+        q[:-1], with q[r-2] taking the dropped-special role.  Cached.
+        Decryption there uses the same sk (its first r-2 residue rows)."""
+        nxt = self._mult_cache.get("next_ctx")
+        if nxt is None:
+            p = self.params
+            if p.r < 3:
+                raise ValueError("modulus chain exhausted: r must be >= 3 "
+                                 "to drop another modulus")
+            np_ = params_mod.BFVParams(
+                name=f"{p.name}@L{p.r - 1}", n=p.n, q=p.q[:-1],
+                psi=p.psi[:-1], t=p.t, gamma=p.gamma)
+            nxt = BFVContext.build(np_, backend=self.backend,
+                                   uniform_spec=self.uniform_spec,
+                                   fusion=self.fusion)
+            self._mult_cache["next_ctx"] = nxt
+        return nxt
+
+    def mod_switch_to_next(self, ct):
+        """Switch a ciphertext one level down the modulus chain
+        (SEAL's mod_switch_to_next): (L, r-1, n) -> (L, r-2, n), each
+        component divided-and-rounded by the last kept modulus — the
+        exact same kernel as encryption's modulus drop
+        (bfv_encryption.cuh:111-178).  The invariant noise is nearly
+        preserved while ciphertexts shrink by one residue row; decrypt
+        and further eval ops run under next_context()."""
+        p = self.params
+        ct = _as_array("ct", ct)
+        if ct.ndim != 3 or ct.shape[0] < 2:
+            raise ValueError(f"ct: expected shape (L>=2, r-1, n), got "
+                             f"{ct.shape}")
+        L = ct.shape[0]
+        ct = check_residues("ct", ct, (L, p.r - 1, p.n))
+        nxt = self.next_context()
+        return _mod_switch_jit(ct, nxt.dr_consts, nxt.ms_drop, nxt.ms_last)
+
     def noise_budget(self, sk, ct) -> int:
         """Invariant noise budget in bits (SEAL's
         invariant_noise_budget): floor(log2(q / (2*|w|))) where
@@ -562,7 +599,9 @@ class BFVContext:
     def _sk_drop(self, sk):
         p = self.params
         sk = jnp.asarray(sk)
-        if sk.ndim == 2 and sk.shape[0] == p.r:
+        if sk.ndim == 2 and sk.shape[0] >= p.r:
+            # extra rows are the same s under higher-level moduli — a
+            # full-chain sk decrypts at every level (mod_switch_to_next)
             sk = sk[: p.r - 1]
         return check_residues("sk", sk, (p.r - 1, p.n),
                               "keygen returns the NTT-domain (r, n) sk")
@@ -884,6 +923,11 @@ def _decrypt_many_jit(sk_drop, ct, ms, tables, ftab, dec_consts,
         return poly.fast_convert_and_round(x, dec_consts)
     return bfv_tail.decrypt_tail(x, ct[0], dec_tail_consts,
                                  interpret=(backend == "pallas-interpret"))
+
+
+@jax.jit
+def _mod_switch_jit(ct, dr_consts, ms_drop, ms_last):
+    return poly.divide_and_round_q_last(ct, dr_consts, ms_drop, ms_last)
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))

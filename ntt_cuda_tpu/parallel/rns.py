@@ -106,8 +106,32 @@ class ShardedBFVContext:
                 if (p.r - 1) % rns_size == 0 else P())
         return NamedSharding(self.mesh, spec)
 
+    def rlk_sharding(self):
+        p = self.inner.params
+        rns_size = self.mesh.shape[mesh_mod.RNS_AXIS]
+        spec = (P(None, None, mesh_mod.RNS_AXIS, None)
+                if p.r % rns_size == 0 else P())
+        return NamedSharding(self.mesh, spec)
+
     def keygen(self):
         return self.inner.keygen()
+
+    def relin_keygen(self, sk, nonce=0):
+        """Relinearization keys under GSPMD, sharded P(.., 'rns', None)."""
+        return jax.device_put(
+            self.inner.relin_keygen(
+                jax.device_put(sk, self.key_sharding()), nonce=nonce),
+            self.rlk_sharding())
+
+    def mul(self, ct_a, ct_b, rlk=None):
+        """EvalMult under GSPMD: operands placed P(None, 'rns', None);
+        the BEHZ base-conversion inner products lower to collectives the
+        partitioner inserts (parallel/spmd_mult.py is the
+        explicit-collective form of the same communication)."""
+        put = lambda c: jax.device_put(c, self.ct_sharding())
+        if rlk is not None:
+            rlk = jax.device_put(rlk, self.rlk_sharding())
+        return self.inner.mul(put(ct_a), put(ct_b), rlk=rlk)
 
     def encrypt(self, pk, m_poly):
         return self.inner.encrypt(pk, m_poly)

@@ -206,3 +206,46 @@ def test_noise_budget(ctx4k, keys4k, rng):
     garbage[0] ^= 1 << 20                  # break c0's RNS consistency
     # the corrupted w is ~uniform in (-q/2, q/2): budget collapses to ~0
     assert ctx4k.noise_budget(sk, garbage) <= 2
+
+
+def test_mod_switch(ctx4k, keys4k, rng):
+    """mod_switch_to_next drops one residue row, stays decryptable under
+    next_context() with the same full-chain sk."""
+    p = ctx4k.params
+    sk, pk, _ = keys4k
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct = ctx4k.encrypt(pk, m, nonce=80)
+    ct1 = ctx4k.mod_switch_to_next(ct)
+    nxt = ctx4k.next_context()
+    assert ct1.shape == (2, p.r - 2, p.n)
+    assert nxt.params.q == p.q[:-1]
+    out = np.asarray(nxt.decrypt(sk, ct1))       # full-chain sk accepted
+    assert out.tolist() == m.tolist()
+    assert nxt.noise_budget(sk, ct1) > 0
+    with pytest.raises(ValueError, match="chain exhausted"):
+        nxt.next_context()                       # r=2 has nothing to drop
+
+
+@pytest.mark.slow
+def test_mod_switch_chain_8k(rng):
+    """Two switches down the 8k_4q chain; eval ops work at lower levels
+    (mul with level-local relin keys)."""
+    p = get_bfv_params("8k_4q")
+    ctx = bfv.BFVContext.build(p, backend="xla")
+    sk, pk = ctx.keygen()
+    m = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct = ctx.encrypt(pk, m, nonce=1)
+    ct1 = ctx.mod_switch_to_next(ct)
+    nxt = ctx.next_context()
+    ct2 = nxt.mod_switch_to_next(ct1)
+    n2 = nxt.next_context()
+    assert np.asarray(n2.decrypt(sk, ct2)).tolist() == m.tolist()
+    # 3-component ciphertexts switch too, and mul runs at the new level
+    rlk1 = nxt.relin_keygen(sk[: nxt.params.r], nonce=5)
+    prod = nxt.mul(ct1, ct1, rlk=rlk1)
+    exp = _negacyclic_t(m, m, p.t, p.n)
+    assert np.asarray(nxt.decrypt(sk, prod)).tolist() == exp
+    prod3 = ctx.mul(ct, ct)
+    ps = ctx.mod_switch_to_next(prod3)
+    assert ps.shape == (3, p.r - 2, p.n)
+    assert np.asarray(nxt.decrypt(sk, ps)).tolist() == exp

@@ -149,3 +149,27 @@ def test_config5_n17_sharded_ntt_and_bfv(rng):
     ct = sctx.encrypt(pk, msg)
     out = np.asarray(sctx.decrypt(sk, ct))
     np.testing.assert_array_equal(out, np.asarray(msg))
+
+
+@pytest.mark.slow
+def test_rns_sharded_mul(rng):
+    """GSPMD EvalMult (r=4 over rns=2) matches the unsharded mul
+    bit-exactly, relinearized and not."""
+    p = get_bfv_params("8k_4q")
+    ctx = bfv.BFVContext.build(p)
+    sk, pk = ctx.keygen()
+    m1 = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    m2 = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct1 = ctx.encrypt(pk, jnp.asarray(m1), nonce=1)
+    ct2 = ctx.encrypt(pk, jnp.asarray(m2), nonce=2)
+    rlk = ctx.relin_keygen(sk)
+
+    mesh = mesh_mod.make_mesh(rns=2, coef=4)
+    sctx = rns_mod.ShardedBFVContext.build(p, mesh)
+    np.testing.assert_array_equal(np.asarray(sctx.mul(ct1, ct2)),
+                                  np.asarray(ctx.mul(ct1, ct2)))
+    rlk_s = sctx.relin_keygen(sk)
+    np.testing.assert_array_equal(np.asarray(rlk_s), np.asarray(rlk))
+    np.testing.assert_array_equal(
+        np.asarray(sctx.mul(ct1, ct2, rlk=rlk_s)),
+        np.asarray(ctx.mul(ct1, ct2, rlk=rlk)))
