@@ -99,3 +99,46 @@ def pad_ciphertext(ct, params) -> np.ndarray:
 def drop_padding(ct) -> np.ndarray:
     """(2, r, n) -> (2, r-1, n): discard the dropped-modulus slot."""
     return np.asarray(ct, np.uint64)[:, :-1]
+
+
+def save_relin_keys(path, params, rlk) -> None:
+    """rlk (2, r-1, r, n) NTT-domain (BFVContext.relin_keygen)."""
+    rlk = np.asarray(rlk, np.uint64)
+    want = (2, params.r - 1, params.r, params.n)
+    if rlk.shape != want:
+        raise ValueError(f"rlk: expected shape {want}, got {rlk.shape}")
+    np.savez(path, kind="relin_keys", rlk=rlk, **_params_meta(params))
+
+
+def load_relin_keys(path, params):
+    with np.load(path, allow_pickle=False) as data:
+        if str(data["kind"]) != "relin_keys":
+            raise ValueError(f"{path}: not a relin-keys file")
+        _check_meta(data, params, path)
+        return data["rlk"]
+
+
+def save_galois_keys(path, params, gks: dict) -> None:
+    """gks: {galois element g: (2, r-1, r, n)} (BFVContext.galois_keygen)."""
+    want = (2, params.r - 1, params.r, params.n)
+    elts = sorted(int(g) for g in gks)
+    stack = []
+    for g in elts:
+        k = np.asarray(gks[g], np.uint64)
+        if k.shape != want:
+            raise ValueError(f"gks[{g}]: expected shape {want}, got {k.shape}")
+        stack.append(k)
+    np.savez(path, kind="galois_keys",
+             elts=np.asarray(elts, np.int64),
+             keys=np.stack(stack) if stack else
+             np.zeros((0,) + want, np.uint64),
+             **_params_meta(params))
+
+
+def load_galois_keys(path, params) -> dict:
+    with np.load(path, allow_pickle=False) as data:
+        if str(data["kind"]) != "galois_keys":
+            raise ValueError(f"{path}: not a galois-keys file")
+        _check_meta(data, params, path)
+        return {int(g): data["keys"][i]
+                for i, g in enumerate(data["elts"])}

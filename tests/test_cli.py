@@ -95,3 +95,26 @@ def test_padded_ciphertext_serialization(tmp_path, rng):
     repad2 = serialize.load_ciphertext(f2, p, layout="padded")
     out3 = np.asarray(sctx.decrypt(sk, jnp.asarray(repad2)))
     np.testing.assert_array_equal(out3, m)
+
+
+def test_serialize_eval_keys_roundtrip(tmp_path):
+    p = get_bfv_params("4k_3q")
+    want = (2, p.r - 1, p.r, p.n)
+    rng = np.random.default_rng(1)
+    rlk = rng.integers(0, 1 << 40, want, dtype=np.uint64)
+    path = tmp_path / "rlk.npz"
+    serialize.save_relin_keys(path, p, rlk)
+    np.testing.assert_array_equal(serialize.load_relin_keys(path, p), rlk)
+
+    gks = {3: rng.integers(0, 1 << 40, want, dtype=np.uint64),
+           2 * p.n - 1: rng.integers(0, 1 << 40, want, dtype=np.uint64)}
+    gpath = tmp_path / "gks.npz"
+    serialize.save_galois_keys(gpath, p, gks)
+    got = serialize.load_galois_keys(gpath, p)
+    assert sorted(got) == sorted(gks)
+    for g in gks:
+        np.testing.assert_array_equal(got[g], gks[g])
+    with pytest.raises(ValueError, match="not a relin-keys"):
+        serialize.load_relin_keys(gpath, p)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        serialize.load_galois_keys(gpath, get_bfv_params("8k_4q"))
