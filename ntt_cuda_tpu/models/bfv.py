@@ -153,7 +153,18 @@ class BFVContext:
         ONE kernel with per-modulus twiddle residency (ops/fused_ops.py);
         "stage" runs the round-2 per-stage kernels (one kernel per
         transform batch) — kept for A/B measurement."""
+        explicit = backend is not None
         backend = backend or default_backend()
+        if params.t & (params.t - 1) and backend != "xla":
+            # the fused pallas tails assume a power-of-two t (log2t mask
+            # tricks, ops/bfv_tail.py); batching primes run the portable
+            # XLA pipelines
+            if explicit:
+                raise ValueError(
+                    "pallas backends require a power-of-two t; build with "
+                    "backend='xla' for odd (batching-prime) plaintext "
+                    "moduli")
+            backend = "xla"
         if uniform_spec not in ("int", "fp64"):
             raise ValueError(f"unknown uniform_spec {uniform_spec!r}")
         if fusion not in ("op", "stage"):
@@ -555,6 +566,31 @@ class BFVContext:
             return q_prod.bit_length() - 1
         budget = q_prod // (2 * max_w)
         return max(0, budget.bit_length() - 1)
+
+    def rotate_rows(self, ct, steps, gks):
+        """Cyclic slot rotation of both batching rows by `steps`
+        (SEAL rotate_rows) — meaningful with a prime batching t and the
+        BatchEncoder (models/encoder.py).  `gks` is the dict from
+        galois_keygen and must contain encoder.rotation_element(n,
+        steps)."""
+        from . import encoder as encoder_mod
+        g = encoder_mod.rotation_element(self.params.n, steps)
+        if g not in gks:
+            raise KeyError(
+                f"gks lacks the rotation element {g} for steps={steps}; "
+                f"generate with galois_keygen(sk, "
+                f"[rotation_element(n, {steps})])")
+        return self.apply_galois(ct, g, gks[g])
+
+    def rotate_columns(self, ct, gks):
+        """Swap the two batching rows (SEAL rotate_columns; Galois
+        element 2n-1)."""
+        from . import encoder as encoder_mod
+        g = encoder_mod.column_element(self.params.n)
+        if g not in gks:
+            raise KeyError(f"gks lacks the column element {g}; generate "
+                           f"with galois_keygen(sk, [2*n - 1])")
+        return self.apply_galois(ct, g, gks[g])
 
     def _p_mont_bank(self):
         pm = self._mult_cache.get("p_mont")

@@ -174,7 +174,9 @@ def add_message(c0, m_poly, mc: MessageConsts):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["prod_t_gamma_mont", "inv_punctured_mont", "bcm_t", "bcm_g_mont",
-                 "gamma", "gamma_qinv_neg", "gamma_div_2", "neg_g_mont"],
+                 "gamma", "gamma_qinv_neg", "gamma_div_2", "neg_g_mont",
+                 "bcm_t_mont", "t_qinv_neg", "neg_t_mont", "nu_t",
+                 "inv_gamma_t_mont"],
     meta_fields=["t", "neg_t"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -187,6 +189,16 @@ class DecryptConsts:
     gamma_qinv_neg: jax.Array      # () -gamma^-1 mod 2^64
     gamma_div_2: jax.Array         # ()
     neg_g_mont: jax.Array          # () (-1/prod q)^-1... neg_inv_q mod gamma, Mont(gamma)
+    # general-t (odd plaintext modulus) channel: Montgomery mod-t
+    # arithmetic replaces the reference's power-of-two mask tricks;
+    # zeros when t is even (the masked path is used instead)
+    bcm_t_mont: jax.Array          # (r-1, 1) bcm_t * R mod t
+    t_qinv_neg: jax.Array          # () -t^-1 mod 2^64 (t odd only)
+    neg_t_mont: jax.Array          # () neg_t * R mod t
+    nu_t: jax.Array                # () floor(2^64 / t)
+    inv_gamma_t_mont: jax.Array    # () (gamma mod t)^-1 * R mod t — the
+    # final gamma-undo; the reference skips it because its gamma === 1
+    # mod its power-of-two t (2^61 - 10239 === 1 mod 1024)
     t: int
     neg_t: int                     # neg_inv_q mod t (plain, multiplies under mask)
 
@@ -195,9 +207,19 @@ class DecryptConsts:
         col = lambda v: np.array(v, dtype=np.uint64).reshape(-1, 1)
         qs = params.q[:-1]
         g = params.gamma
+        t = params.t
         bcm_t, bcm_g = params.base_change_matrix
         neg_t, neg_g = params.neg_inv_q_mod_t_gamma
+        odd = t % 2 == 1
         return DecryptConsts(
+            bcm_t_mont=jnp.asarray(col(
+                [hm.to_mont(x, t) for x in bcm_t] if odd
+                else [0] * len(qs))),
+            t_qinv_neg=jnp.uint64(hm.mont_qinv_neg(t) if odd else 0),
+            neg_t_mont=jnp.uint64(hm.to_mont(neg_t, t) if odd else 0),
+            nu_t=jnp.uint64((1 << 64) // t),
+            inv_gamma_t_mont=jnp.uint64(
+                hm.to_mont(pow(g % t, -1, t), t) if odd else 0),
             prod_t_gamma_mont=jnp.asarray(col(
                 [hm.to_mont(x, qi) for x, qi in zip(params.prod_t_gamma_mod_q, qs)])),
             inv_punctured_mont=jnp.asarray(col(
@@ -227,10 +249,22 @@ def fast_convert_and_round(c1, dc: DecryptConsts):
     partials are < gamma < 2^61; we reduce pairwise with add_mod, which
     equals the reference's per-step `% gamma` chain exactly.
     """
-    mask = U64(dc.t - 1)
-    part_t = (c1 * dc.bcm_t) & mask
-    x_t = jnp.sum(part_t, axis=-2) & mask
-    x_t = (x_t * U64(dc.neg_t)) & mask
+    pow2_t = dc.t & (dc.t - 1) == 0
+    if pow2_t:
+        mask = U64(dc.t - 1)
+        part_t = (c1 * dc.bcm_t) & mask
+        x_t = jnp.sum(part_t, axis=-2) & mask
+        x_t = (x_t * U64(dc.neg_t)) & mask
+    else:
+        # odd t (batching prime): exact Montgomery mod-t arithmetic in
+        # place of the reference's power-of-two masks (same math — for
+        # t | 2^64 the masked forms ARE mod t)
+        tt, tqi = U64(dc.t), dc.t_qinv_neg
+        part_t = modmath.mont_mul(c1, dc.bcm_t_mont, tt, tqi)
+        x_t = part_t[..., 0, :]
+        for i in range(1, part_t.shape[-2]):
+            x_t = modmath.add_mod(x_t, part_t[..., i, :], tt)
+        x_t = modmath.mont_mul(x_t, dc.neg_t_mont, tt, tqi)
 
     part_g = modmath.mont_mul(c1, dc.bcm_g_mont, dc.gamma, dc.gamma_qinv_neg)
 
@@ -244,8 +278,18 @@ def fast_convert_and_round(c1, dc: DecryptConsts):
     x_g = modmath.mont_mul(x_g, dc.neg_g_mont, dc.gamma, dc.gamma_qinv_neg)
 
     # dec_round_kernel: `> gamma/2` (strict) branch
-    corr = jnp.where(x_g > dc.gamma_div_2, x_t + (dc.gamma - x_g), x_t - x_g)
-    return corr & mask
+    if pow2_t:
+        corr = jnp.where(x_g > dc.gamma_div_2,
+                         x_t + (dc.gamma - x_g), x_t - x_g)
+        return corr & mask
+    tt = U64(dc.t)
+    plus = modmath.add_mod(
+        x_t, modmath.mod_u64(dc.gamma - x_g, tt, dc.nu_t), tt)
+    minus = modmath.sub_mod(x_t, modmath.mod_u64(x_g, tt, dc.nu_t), tt)
+    corr = jnp.where(x_g > dc.gamma_div_2, plus, minus)
+    # the rounded value is gamma*m mod t: undo gamma (trivial for the
+    # reference's gamma === 1 mod t; required for batching primes)
+    return modmath.mont_mul(corr, dc.inv_gamma_t_mont, tt, dc.t_qinv_neg)
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,9 @@ class SpmdBFVContext:
     @staticmethod
     def build(params: BFVParams, devices=None,
               interpret: bool | None = None) -> "SpmdBFVContext":
+        if params.t & (params.t - 1):
+            raise ValueError("SPMD pipelines run the fused pallas tails, "
+                             "which assume a power-of-two t")
         if devices is None:
             devices = jax.devices()
         mesh = Mesh(np.array(devices), ("rns",))

@@ -292,6 +292,7 @@ def fast_convert_and_round(c1, params) -> list[int]:
     """
     t, gamma = params.t, params.gamma
     mask = t - 1
+    pow2_t = t & (t - 1) == 0
     bcm_t, bcm_g = params.base_change_matrix
     neg_t, neg_g = params.neg_inv_q_mod_t_gamma
     n = params.n
@@ -301,15 +302,26 @@ def fast_convert_and_round(c1, params) -> list[int]:
         xt = 0
         xg = 0
         for i in range(rr):
-            xt += (int(c1[i][j]) * bcm_t[i]) & MASK64 & mask
+            if pow2_t:
+                xt += (int(c1[i][j]) * bcm_t[i]) & MASK64 & mask
+            else:
+                xt = (xt + int(c1[i][j]) * bcm_t[i]) % t
             xg = (xg + (int(c1[i][j]) * bcm_g[i]) % gamma) % gamma
-        xt &= mask
-        xt = (xt * neg_t) & MASK64 & mask
-        xg = (xg * neg_g) % gamma
-        if xg > params.gamma_div_2:
-            out.append((xt + (gamma - xg)) & mask)
+        if pow2_t:
+            xt &= mask
+            xt = (xt * neg_t) & MASK64 & mask
         else:
-            out.append((xt - xg) & mask)
+            xt = (xt * neg_t) % t
+        xg = (xg * neg_g) % gamma
+        if pow2_t:
+            if xg > params.gamma_div_2:
+                out.append((xt + (gamma - xg)) & mask)
+            else:
+                out.append((xt - xg) & mask)
+        elif xg > params.gamma_div_2:
+            out.append((xt + (gamma - xg)) * pow(gamma % t, -1, t) % t)
+        else:
+            out.append((xt - xg) * pow(gamma % t, -1, t) % t)
     return out
 
 

@@ -55,10 +55,14 @@ def find_primitive_2n_root(q: int, n: int) -> int:
             raise ValueError(f"no generator found for q={q}")
 
 
-def generate_moduli(n: int, bits: int, count: int) -> list[int]:
-    """`count` distinct primes of `bits` bits with q === 1 mod 2n,
-    scanning downward from 2^bits (like SEAL's CoeffModulus)."""
-    step = 2 * n
+def generate_moduli(n: int, bits: int, count: int,
+                    multiple: int = 1) -> list[int]:
+    """`count` distinct primes of `bits` bits with q === 1 mod 2n*multiple,
+    scanning downward from 2^bits (like SEAL's CoeffModulus).  `multiple`
+    > 1 (e.g. a prime plaintext modulus t) additionally forces
+    q === 1 mod t, the congruence the scheme's Delta-embedding assumes
+    (weird_m_stuff, bfv_encryption.cuh:194)."""
+    step = 2 * n * multiple
     q = ((1 << bits) - 1) // step * step + 1
     out: list[int] = []
     while len(out) < count and q > (1 << (bits - 1)):
@@ -66,8 +70,22 @@ def generate_moduli(n: int, bits: int, count: int) -> list[int]:
             out.append(q)
         q -= step
     if len(out) < count:
-        raise ValueError(f"not enough {bits}-bit NTT primes for n={n}")
+        raise ValueError(f"not enough {bits}-bit NTT primes for n={n} "
+                         f"(congruent 1 mod {step})")
     return out
+
+
+def find_plain_modulus(n: int, bits: int) -> int:
+    """Smallest `bits`-bit prime t with t === 1 mod 2n (SEAL's
+    PlainModulus::Batching): the congruence that gives R_t a full set of
+    CRT slots for the batching encoder (models/encoder.py)."""
+    step = 2 * n
+    t = (1 << (bits - 1)) // step * step + 1
+    while t < (1 << bits):
+        if t > (1 << (bits - 1)) and is_prime(t):
+            return t
+        t += step
+    raise ValueError(f"no {bits}-bit batching prime for n={n}")
 
 
 def make_bfv_params(n: int, bits: int, r: int, t: int = params_mod.T_DEFAULT,
@@ -76,9 +94,11 @@ def make_bfv_params(n: int, bits: int, r: int, t: int = params_mod.T_DEFAULT,
 
     Note the scheme's `weird_m_stuff` assumes q === 1 mod t
     (bfv_encryption.cuh:194); primes q = k*2n+1 satisfy this whenever
-    t | 2n*k — for t a power of two <= 2n this holds automatically.
+    t | 2n*k — for t a power of two <= 2n this holds automatically, and
+    for an odd t (a batching prime from find_plain_modulus) the moduli
+    are generated with the congruence forced.
     """
-    qs = generate_moduli(n, bits, r)
+    qs = generate_moduli(n, bits, r, multiple=t if t % 2 else 1)
     psis = [find_primitive_2n_root(q, n) for q in qs]
     return params_mod.BFVParams(
         name=name or f"gen_{n}_{bits}b_{r}q",
