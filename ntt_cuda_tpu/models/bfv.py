@@ -469,10 +469,15 @@ class BFVContext:
     def apply_galois(self, ct, g, gk):
         """Homomorphic automorphism: decrypts to tau_g(m), i.e.
         out[j] = ±m[(j * g^-1 mod 2n) mod n] with the negacyclic sign,
-        reduced mod t.  `gk` is galois_keygen(...)[g]."""
+        reduced mod t.  `gk` is galois_keygen(...)[g].  Accepts
+        (2, r-1, n) ciphertexts or (J, 2, r-1, n) batches."""
         p = self.params
-        ct = check_residues("ct", ct, (2, p.r - 1, p.n),
-                            "encrypt returns (2, r-1, n)")
+        ct = _as_array("ct", ct)
+        base = (2, p.r - 1, p.n)
+        if ct.shape[-3:] != base or ct.ndim not in (3, 4):
+            raise ValueError(f"ct: expected (2, r-1, n) or (J, 2, r-1, n)"
+                             f" = (..., {base}), got {ct.shape}")
+        ct = check_residues("ct", ct, ct.shape)
         gk = check_residues("gk", gk, (2, p.r - 1, p.r, p.n),
                             "pass one key from galois_keygen()")
         perm, neg = poly.galois_maps(p.n, int(g))
@@ -903,10 +908,10 @@ def _apply_galois_jit(ct, perm, neg, gk, ms_full, ms_drop, ms_last, tables,
     """tau_g on both ciphertext components (one gather + conditional
     negate), then key-switch the permuted c1 from tau_g(s) back to s."""
     tc = poly.galois_apply(ct, perm, neg, ms_drop)
-    cc = _keyswitch_jit(tc[1], gk, ms_full, ms_drop, ms_last, tables, ftab,
-                        dr_consts, backend)
-    c0 = modmath.add_mod(tc[0], cc[0], ms_drop.q)
-    return jnp.stack([c0, cc[1]])
+    cc = _keyswitch_jit(tc[..., 1, :, :], gk, ms_full, ms_drop, ms_last,
+                        tables, ftab, dr_consts, backend)
+    c0 = modmath.add_mod(tc[..., 0, :, :], cc[..., 0, :, :], ms_drop.q)
+    return jnp.stack([c0, cc[..., 1, :, :]], axis=-3)
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))

@@ -91,3 +91,30 @@ def test_rotations(setup, rng):
 
     with pytest.raises(KeyError, match="rotation element"):
         ctx.rotate_rows(ct, 7, gks)
+
+
+def test_apply_galois_batched(setup, rng):
+    """(J, 2, r-1, n) batches through apply_galois match per-message."""
+    params, enc, ctx, sk, pk = setup
+    t = params.t
+    g = encoder.rotation_element(N, 1)
+    gks = ctx.galois_keygen(sk, [g], nonce=9)
+    cts = np.stack([
+        np.asarray(ctx.encrypt(pk, enc.encode(
+            rng.integers(0, t, N, dtype=np.uint64)), nonce=10 + j))
+        for j in range(2)])
+    batched = np.asarray(ctx.apply_galois(cts, g, gks[g]))
+    assert batched.shape == cts.shape
+    for j in range(2):
+        np.testing.assert_array_equal(
+            batched[j], np.asarray(ctx.apply_galois(cts[j], g, gks[g])))
+
+
+@pytest.mark.slow
+def test_encrypted_dot_product_example():
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from examples.encrypted_dot_product import encrypted_dot_product
+    result, expected, budget = encrypted_dot_product(verbose=False)
+    assert result == expected
+    assert budget > 0
