@@ -94,10 +94,12 @@ class SpmdMultConsts:
     half_mod: jax.Array            # (r, 1) half mod q_i, pad 0
     inv_qlast_mont: jax.Array      # (r, 1), pad 0 (zeroes the garbage row)
 
-    # sharded transform state for the auxiliary base
-    ms_bsk: modmath.ModulusSet         # (r, 1) bundles, row-sharded
-    tables_bsk: ntt.NTTTables          # xla stage-loop tables, row-sharded
-    ftab_bsk: ntt_pallas.FourStepTables  # pallas tables, row-sharded
+    # sharded transform state for the auxiliary base (None when the
+    # caller carries its own transform machinery, e.g. spmd2d_mult's
+    # coefficient-sharded tables)
+    ms_bsk: modmath.ModulusSet | None = None
+    tables_bsk: ntt.NTTTables | None = None
+    ftab_bsk: ntt_pallas.FourStepTables | None = None
 
     @staticmethod
     def host_build(params, aux: behz.AuxBase):
@@ -169,6 +171,89 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _conv_local(zp_all, bcm, idx, rl, k, ms_q_loc, ms_qinv_loc):
+    """Target-row inner products for this shard's rows: the same
+    source loop (j ascending, add_mod) as behz._conv."""
+    bcm_loc = jax.lax.dynamic_slice_in_dim(bcm, idx * rl, rl, axis=0)
+    out = None
+    for j in range(k):
+        term = modmath.mont_mul(zp_all[..., j:j + 1, :],
+                                bcm_loc[:, j:j + 1],
+                                ms_q_loc, ms_qinv_loc)
+        out = term if out is None else modmath.add_mod(out, term,
+                                                       ms_q_loc)
+    return out
+
+def _rns_to_bsk_shard(x_loc, mc, idx, rl, k, bskq_loc, bskqinv_loc):
+    """behz.rns_to_bsk with one all_gather of the raw base-q rows."""
+    x_all = jax.lax.all_gather(x_loc, "rns", axis=-2, tiled=True)
+    z = modmath.mont_mul(x_all, mc.mt_mont_q, mc.q_all, mc.qinv_all)
+    zp = modmath.mont_mul(z, mc.inv_punct_q_mont, mc.q_all,
+                          mc.qinv_all)                 # pad row -> 0
+    y = _conv_local(zp, mc.bcm_q_bsk_mont, idx, rl, k,
+                         bskq_loc, bskqinv_loc)
+    ymt = jnp.zeros(zp.shape[:-2] + zp.shape[-1:], U64)
+    for j in range(k):
+        ymt = ymt + zp[..., j, :] * mc.bcm_q_mt[j]
+    ymt = ymt & U64(_M32)
+    rr = (ymt * mc.neg_inv_q_mt) & U64(_M32)
+    rb = rr[..., None, :]
+    lift = jnp.where(rb >= U64(behz.M_TILDE // 2),
+                     bskq_loc - U64(behz.M_TILDE), U64(0))
+    temp = rb + lift
+    corr = modmath.mont_mul(
+        temp, jax.lax.dynamic_slice_in_dim(mc.prodq_mont_bsk,
+                                           idx * rl, rl, axis=0),
+        bskq_loc, bskqinv_loc)
+    s = modmath.add_mod(y, corr, bskq_loc)
+    return modmath.mont_mul(
+        s, jax.lax.dynamic_slice_in_dim(mc.inv_mt_mont_bsk,
+                                        idx * rl, rl, axis=0),
+        bskq_loc, bskqinv_loc)
+
+def _fast_floor_shard(xq_loc, xbsk_loc, mc, idx, rl, k, bskq_loc,
+                  bskqinv_loc):
+    xq_all = jax.lax.all_gather(xq_loc, "rns", axis=-2, tiled=True)
+    yq = modmath.mont_mul(xq_all, mc.t_mont_q, mc.q_all, mc.qinv_all)
+    zp = modmath.mont_mul(yq, mc.inv_punct_q_mont, mc.q_all,
+                          mc.qinv_all)
+    conv = _conv_local(zp, mc.bcm_q_bsk_mont, idx, rl, k,
+                            bskq_loc, bskqinv_loc)
+    yb = modmath.mont_mul(
+        xbsk_loc, jax.lax.dynamic_slice_in_dim(mc.t_mont_bsk,
+                                               idx * rl, rl, axis=0),
+        bskq_loc, bskqinv_loc)
+    diff = modmath.sub_mod(yb, conv, bskq_loc)
+    return modmath.mont_mul(
+        diff, jax.lax.dynamic_slice_in_dim(mc.inv_prodq_mont_bsk,
+                                           idx * rl, rl, axis=0),
+        bskq_loc, bskqinv_loc)
+
+def _bsk_to_q_shard(x_loc, mc, idx, rl, k, q_loc, qinv_loc):
+    x_all = jax.lax.all_gather(x_loc, "rns", axis=-2, tiled=True)
+    xp = modmath.mont_mul(x_all, mc.inv_punct_b_mont, mc.bsk_q_all,
+                          mc.bsk_qinv_all)             # m_sk row -> 0
+    cq = _conv_local(xp, mc.bcm_b_q_mont, idx, rl, k,
+                          q_loc, qinv_loc)
+    cm = None
+    for j in range(k):
+        term = modmath.mont_mul(xp[..., j, :], mc.bcm_b_msk_mont[j],
+                                mc.msk, mc.msk_qinv_neg)
+        cm = term if cm is None else modmath.add_mod(cm, term, mc.msk)
+    alpha = modmath.mont_mul(
+        modmath.sub_mod(cm, x_all[..., k, :], mc.msk),
+        mc.inv_prodb_mont_msk, mc.msk, mc.msk_qinv_neg)
+    neg = alpha > mc.msk_half
+    mag = jnp.where(neg, mc.msk - alpha, alpha)[..., None, :]
+    corr = modmath.mont_mul(
+        mag, jax.lax.dynamic_slice_in_dim(mc.prodb_mont_q,
+                                          idx * rl, rl, axis=0),
+        q_loc, qinv_loc)
+    negb = neg[..., None, :]
+    return jnp.where(negb, modmath.add_mod(cq, corr, q_loc),
+                     modmath.sub_mod(cq, corr, q_loc))
+
+
 @dataclasses.dataclass(frozen=True)
 class SpmdMultContext:
     """EvalMult over an SpmdBFVContext's mesh.  ntt_impl: "pallas"
@@ -233,7 +318,7 @@ class SpmdMultContext:
         return (jax.tree.map(spec_from_sharding, self.mc),
                 jax.tree.map(spec_from_sharding, self.tables_q))
 
-    # -- shard-level conversion bodies (mirror ops/behz.py exactly) ---------
+    # -- shard-level transform-impl selection -------------------------------
 
     def _ops(self):
         impl = self.ntt_impl
@@ -324,96 +409,12 @@ class SpmdMultContext:
         p = self.base.params
         R = self.base.mesh.shape["rns"]
         return p, p.r, p.r - 1, p.n, R, p.r // R
-
-    def _conv_local(self, zp_all, bcm, idx, rl, k, ms_q_loc, ms_qinv_loc):
-        """Target-row inner products for this shard's rows: the same
-        source loop (j ascending, add_mod) as behz._conv."""
-        bcm_loc = jax.lax.dynamic_slice_in_dim(bcm, idx * rl, rl, axis=0)
-        out = None
-        for j in range(k):
-            term = modmath.mont_mul(zp_all[..., j:j + 1, :],
-                                    bcm_loc[:, j:j + 1],
-                                    ms_q_loc, ms_qinv_loc)
-            out = term if out is None else modmath.add_mod(out, term,
-                                                           ms_q_loc)
-        return out
-
-    def _rns_to_bsk_shard(self, x_loc, mc, idx, rl, k, bskq_loc,
-                          bskqinv_loc):
-        """behz.rns_to_bsk with one all_gather of the raw base-q rows."""
-        x_all = jax.lax.all_gather(x_loc, "rns", axis=-2, tiled=True)
-        z = modmath.mont_mul(x_all, mc.mt_mont_q, mc.q_all, mc.qinv_all)
-        zp = modmath.mont_mul(z, mc.inv_punct_q_mont, mc.q_all,
-                              mc.qinv_all)                 # pad row -> 0
-        y = self._conv_local(zp, mc.bcm_q_bsk_mont, idx, rl, k,
-                             bskq_loc, bskqinv_loc)
-        ymt = jnp.zeros(zp.shape[:-2] + zp.shape[-1:], U64)
-        for j in range(k):
-            ymt = ymt + zp[..., j, :] * mc.bcm_q_mt[j]
-        ymt = ymt & U64(_M32)
-        rr = (ymt * mc.neg_inv_q_mt) & U64(_M32)
-        rb = rr[..., None, :]
-        lift = jnp.where(rb >= U64(behz.M_TILDE // 2),
-                         bskq_loc - U64(behz.M_TILDE), U64(0))
-        temp = rb + lift
-        corr = modmath.mont_mul(
-            temp, jax.lax.dynamic_slice_in_dim(mc.prodq_mont_bsk,
-                                               idx * rl, rl, axis=0),
-            bskq_loc, bskqinv_loc)
-        s = modmath.add_mod(y, corr, bskq_loc)
-        return modmath.mont_mul(
-            s, jax.lax.dynamic_slice_in_dim(mc.inv_mt_mont_bsk,
-                                            idx * rl, rl, axis=0),
-            bskq_loc, bskqinv_loc)
-
-    def _fast_floor_shard(self, xq_loc, xbsk_loc, mc, idx, rl, k,
-                          bskq_loc, bskqinv_loc):
-        xq_all = jax.lax.all_gather(xq_loc, "rns", axis=-2, tiled=True)
-        yq = modmath.mont_mul(xq_all, mc.t_mont_q, mc.q_all, mc.qinv_all)
-        zp = modmath.mont_mul(yq, mc.inv_punct_q_mont, mc.q_all,
-                              mc.qinv_all)
-        conv = self._conv_local(zp, mc.bcm_q_bsk_mont, idx, rl, k,
-                                bskq_loc, bskqinv_loc)
-        yb = modmath.mont_mul(
-            xbsk_loc, jax.lax.dynamic_slice_in_dim(mc.t_mont_bsk,
-                                                   idx * rl, rl, axis=0),
-            bskq_loc, bskqinv_loc)
-        diff = modmath.sub_mod(yb, conv, bskq_loc)
-        return modmath.mont_mul(
-            diff, jax.lax.dynamic_slice_in_dim(mc.inv_prodq_mont_bsk,
-                                               idx * rl, rl, axis=0),
-            bskq_loc, bskqinv_loc)
-
-    def _bsk_to_q_shard(self, x_loc, mc, idx, rl, k, q_loc, qinv_loc):
-        x_all = jax.lax.all_gather(x_loc, "rns", axis=-2, tiled=True)
-        xp = modmath.mont_mul(x_all, mc.inv_punct_b_mont, mc.bsk_q_all,
-                              mc.bsk_qinv_all)             # m_sk row -> 0
-        cq = self._conv_local(xp, mc.bcm_b_q_mont, idx, rl, k,
-                              q_loc, qinv_loc)
-        cm = None
-        for j in range(k):
-            term = modmath.mont_mul(xp[..., j, :], mc.bcm_b_msk_mont[j],
-                                    mc.msk, mc.msk_qinv_neg)
-            cm = term if cm is None else modmath.add_mod(cm, term, mc.msk)
-        alpha = modmath.mont_mul(
-            modmath.sub_mod(cm, x_all[..., k, :], mc.msk),
-            mc.inv_prodb_mont_msk, mc.msk, mc.msk_qinv_neg)
-        neg = alpha > mc.msk_half
-        mag = jnp.where(neg, mc.msk - alpha, alpha)[..., None, :]
-        corr = modmath.mont_mul(
-            mag, jax.lax.dynamic_slice_in_dim(mc.prodb_mont_q,
-                                              idx * rl, rl, axis=0),
-            q_loc, qinv_loc)
-        negb = neg[..., None, :]
-        return jnp.where(negb, modmath.add_mod(cq, corr, q_loc),
-                         modmath.sub_mod(cq, corr, q_loc))
-
     def _mul_program(self, ct_a, ct_b):
         p, r, k, n, R, rl = self._shard_ctx()
         mc_spec, tq_spec = self._mc_specs()
         ms_spec, ftab_spec, _, _ = self.base._specs()
         fwd, inv, inv_mul, _ = self._ops()
-        self_ = self
+
 
         def body(a_loc, b_loc, ms, ftab, mc, tq):
             idx = jax.lax.axis_index("rns")
@@ -421,9 +422,9 @@ class SpmdMultContext:
                                                     rl, axis=0)
             bskqinv_loc = jax.lax.dynamic_slice_in_dim(
                 mc.bsk_qinv_all, idx * rl, rl, axis=0)
-            ab = self_._rns_to_bsk_shard(a_loc, mc, idx, rl, k,
+            ab = _rns_to_bsk_shard(a_loc, mc, idx, rl, k,
                                          bskq_loc, bskqinv_loc)
-            bb = self_._rns_to_bsk_shard(b_loc, mc, idx, rl, k,
+            bb = _rns_to_bsk_shard(b_loc, mc, idx, rl, k,
                                          bskq_loc, bskqinv_loc)
             fa_q = fwd(a_loc, ftab, tq, ms)
             fb_q = fwd(b_loc, ftab, tq, ms)
@@ -442,9 +443,9 @@ class SpmdMultContext:
 
             pq = tensor(fa_q, fb_q, ftab, tq, ms)
             pb = tensor(fa_b, fb_b, mc.ftab_bsk, mc.tables_bsk, mc.ms_bsk)
-            fl = self_._fast_floor_shard(pq, pb, mc, idx, rl, k,
+            fl = _fast_floor_shard(pq, pb, mc, idx, rl, k,
                                          bskq_loc, bskqinv_loc)
-            return self_._bsk_to_q_shard(fl, mc, idx, rl, k,
+            return _bsk_to_q_shard(fl, mc, idx, rl, k,
                                          ms.q, ms.qinv_neg)
 
         fn = shard_map(body, mesh=self.base.mesh,
