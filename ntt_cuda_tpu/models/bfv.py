@@ -153,6 +153,11 @@ class BFVContext:
         ONE kernel with per-modulus twiddle residency (ops/fused_ops.py);
         "stage" runs the round-2 per-stage kernels (one kernel per
         transform batch) — kept for A/B measurement."""
+        if params.t % 2 == 0 and params.t & (params.t - 1):
+            raise ValueError(
+                f"t={params.t} is neither a power of two (reference "
+                f"semantics) nor odd (batching-prime semantics); no "
+                f"decrypt path supports it")
         explicit = backend is not None
         backend = backend or default_backend()
         if params.t & (params.t - 1) and backend != "xla":
@@ -415,10 +420,10 @@ class BFVContext:
         p = self.params
         sk = check_residues("sk", sk, (p.r, p.n),
                             "keygen returns the NTT-domain (r, n) sk")
-        st = self._mult_setup()
         return _relin_keygen_jit(jnp.asarray(nonce, U64), sk, self.ms_full,
                                  self.tables_full, self.ftab_full,
-                                 st.p_mont, p.n, p.r, self.backend)
+                                 self._p_mont_bank(), p.n, p.r,
+                                 self.backend)
 
     def relinearize(self, ct3, rlk):
         """(3, r-1, n) EvalMult output + relin keys -> (2, r-1, n).
@@ -447,11 +452,12 @@ class BFVContext:
 
         Beyond the reference (SEAL's galois_keys): enables homomorphic
         coefficient permutations via apply_galois().  Draws run under
-        their own Salsa20 key byte (sampling.GALOIS_KEY_BYTE) with a
-        per-element block layout — one keystream per call, independent
-        of keygen/encrypt/relin streams at any nonce.  The stream block
-        an element consumes depends on its rank in sorted(elts): reuse
-        the same nonce only with the same element set."""
+        their own Salsa20 key byte (sampling.GALOIS_KEY_BYTE), with the
+        stream region indexed by the ELEMENT VALUE — independent of
+        keygen/encrypt/relin streams at any nonce, and safe to call
+        repeatedly at one nonce with different element sets (a shared
+        element reproduces its key; distinct elements never share
+        randomness)."""
         sampling.check_user_nonce(nonce)
         p = self.params
         sk = check_residues("sk", sk, (p.r, p.n),
@@ -463,7 +469,7 @@ class BFVContext:
         keys = _galois_keygen_jit(jnp.asarray(nonce, U64), sk, perms, negs,
                                   self.ms_full, self.tables_full,
                                   self.ftab_full, self._p_mont_bank(),
-                                  p.n, p.r, self.backend)
+                                  tuple(elts), p.n, p.r, self.backend)
         return {g: keys[t] for t, g in enumerate(elts)}
 
     def apply_galois(self, ct, g, gk):
@@ -882,16 +888,16 @@ def _relin_keygen_jit(nonce, sk, ms, tables, ftab, p_mont, n: int, r: int,
     return _kskeygen_body(a, e, sk, hs2, ms, tables, ftab, p_mont, backend)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
+@functools.partial(jax.jit, static_argnames=("elts", "n", "r", "backend"))
 def _galois_keygen_jit(nonce, sk, perms, negs, ms, tables, ftab, p_mont,
-                       n: int, r: int, backend: str):
+                       elts: tuple, n: int, r: int, backend: str):
     """Galois switching keys for E elements: target tau_g(s), computed by
     INTT(sk) -> coefficient-domain automorphism -> forward NTT (one INTT
     shared by all elements)."""
     E = perms.shape[0]
     k = r - 1
     ks = "pallas" if backend == "pallas" else "xla"
-    a, e = sampling.galois_draws(n, r, k, E, ms, nonce=nonce, ks_impl=ks)
+    a, e = sampling.galois_draws(n, r, k, elts, ms, nonce=nonce, ks_impl=ks)
     s_coef = _inv(sk, tables, ftab, ms, backend)
     out = []
     for t in range(E):
@@ -939,14 +945,11 @@ def _keyswitch_jit(c2, rlk, ms_full, ms_drop, ms_last, tables, ftab,
     return poly.divide_and_round_q_last(cc, dr_consts, ms_drop, ms_last)
 
 
-@functools.partial(jax.jit, static_argnames=("backend",))
-def _decrypt_many_jit(sk_drop, ct, ms, tables, ftab, dec_consts,
-                      dec_tail_consts, backend: str):
-    """Extended-ciphertext decryption: c0 + sum_{i>=1} c_i * s^i.
-
-    The s-powers and the accumulation happen in the NTT domain, so one
-    INTT serves all components; the tail is decryption's own
-    (bfv_decryption.cuh:76-138)."""
+def _spower_front(sk_drop, ct, ms, tables, ftab, backend: str):
+    """x = INTT(sum_{i>=1} NTT(c_i) * s^i) — the decrypt front shared by
+    extended decryption and the noise inspector.  The s-powers and the
+    accumulation happen in the NTT domain, so one INTT serves all
+    components."""
     L = ct.shape[0]
     acc = None
     pw = sk_drop
@@ -956,7 +959,15 @@ def _decrypt_many_jit(sk_drop, ct, ms, tables, ftab, dec_consts,
         acc = t if acc is None else modmath.add_mod(acc, t, ms.q)
         if i + 1 < L:
             pw = ntt.dyadic_mul(pw, sk_drop, ms)
-    x = _inv(acc, tables, ftab, ms, backend)
+    return _inv(acc, tables, ftab, ms, backend)
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _decrypt_many_jit(sk_drop, ct, ms, tables, ftab, dec_consts,
+                      dec_tail_consts, backend: str):
+    """Extended-ciphertext decryption: c0 + sum_{i>=1} c_i * s^i, the
+    tail being decryption's own (bfv_decryption.cuh:76-138)."""
+    x = _spower_front(sk_drop, ct, ms, tables, ftab, backend)
     if backend == "xla":
         x = poly.poly_add(x, ct[0], ms)
         x = poly.poly_mul_scalar_mont(x, dec_consts.prod_t_gamma_mont, ms)
@@ -975,16 +986,7 @@ def _mod_switch_jit(ct, dr_consts, ms_drop, ms_last):
 def _noise_poly_jit(sk_drop, ct, t_mont, ms, tables, ftab, backend: str):
     """w = [t * (c0 + sum_i c_i s^i)]_q residues — the decrypt front
     without the BEHZ rounding tail (noise_budget's device half)."""
-    L = ct.shape[0]
-    acc = None
-    pw = sk_drop
-    for i in range(1, L):
-        f = _fwd(ct[i], tables, ftab, ms, backend)
-        t = ntt.dyadic_mul(f, pw, ms)
-        acc = t if acc is None else modmath.add_mod(acc, t, ms.q)
-        if i + 1 < L:
-            pw = ntt.dyadic_mul(pw, sk_drop, ms)
-    x = _inv(acc, tables, ftab, ms, backend)
+    x = _spower_front(sk_drop, ct, ms, tables, ftab, backend)
     x = poly.poly_add(x, ct[0], ms)
     return modmath.mont_mul(x, t_mont, ms.q, ms.qinv_neg)
 

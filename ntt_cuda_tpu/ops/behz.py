@@ -83,17 +83,9 @@ class AuxBase:
     @staticmethod
     def build(params) -> "AuxBase":
         k = params.r - 1
-        exclude = set(params.q) | {params.gamma}
-        step = 2 * params.n
-        q = ((1 << AUX_BITS) - 1) // step * step + 1
-        primes: list[int] = []
-        while len(primes) < k + 1 and q > (1 << (AUX_BITS - 1)):
-            if q not in exclude and primegen.is_prime(q):
-                primes.append(q)
-            q -= step
-        if len(primes) < k + 1:
-            raise ValueError(
-                f"not enough {AUX_BITS}-bit NTT primes for n={params.n}")
+        primes = primegen.generate_moduli(
+            params.n, AUX_BITS, k + 1,
+            exclude=set(params.q) | {params.gamma})
         psis = [primegen.find_primitive_2n_root(p, params.n) for p in primes]
         aux = AuxBase(b=tuple(primes[:k]), b_psi=tuple(psis[:k]),
                       m_sk=primes[k], m_sk_psi=psis[k])

@@ -517,26 +517,37 @@ def relin_draws(n: int, r: int, k: int, ms: modmath.ModulusSet, nonce=0,
 GALOIS_KEY_BYTE = 0x03
 
 
-def galois_draws(n: int, r: int, k: int, n_elts: int,
-                 ms: modmath.ModulusSet, nonce=0,
-                 ks_impl: str | None = None):
-    """Draws for `n_elts` Galois switching keys, each k digits:
-    (a (E, k, r, n), e (E, k, r, n)).  Same per-key layout as
-    relin_draws, element t's block at byte offset t*k*(8rn+4n), under
-    key byte 0x03 — independent of the keygen/encrypt (0x01) and relin
-    (0x02) stream families at any nonce."""
+def galois_draws(n: int, r: int, k: int, elts, ms: modmath.ModulusSet,
+                 nonce=0, ks_impl: str | None = None):
+    """Draws for the Galois switching keys of `elts` (a tuple of Galois
+    elements): (a (E, k, r, n), e (E, k, r, n)).
+
+    The stream region is indexed by the ELEMENT VALUE, not its rank in
+    the call: element g's k per-digit blocks start at Salsa20 block
+    counter g * ceil(k*(8rn+4n)/64) (g < 2n, so regions stay far below
+    the 2^64 counter space).  Two galois_keygen calls at the same nonce
+    therefore produce IDENTICAL keys for a shared element and
+    independent streams for different elements — same-nonce calls with
+    different element sets can never reuse randomness across targets
+    (that reuse would hand an attacker P*(tau_g1(s) - tau_g2(s))).
+    Runs under key byte 0x03, independent of the keygen/encrypt (0x01)
+    and relin (0x02) stream families at any nonce."""
     stride = 8 * r * n + 4 * n
-    nbytes = n_elts * k * stride
-    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
-                                       key_byte=GALOIS_KEY_BYTE,
-                                       nonce=keygen_nonce(nonce),
-                                       impl=ks_impl)
-    a = jnp.stack([jnp.stack([
-        uniform(salsa20.block_words_u64(
-            bw, (t * k + j) * stride, r * n).reshape(r, n), ms)
-        for j in range(k)]) for t in range(n_elts)])
-    e = jnp.stack([jnp.stack([
-        gaussian(salsa20.block_words_u32(
-            bw, (t * k + j) * stride + 8 * r * n, n), ms)
-        for j in range(k)]) for t in range(n_elts)])
-    return a, e
+    region = (k * stride + 63) // 64          # blocks per element
+    nonce_eff = keygen_nonce(nonce)
+    a_rows, e_rows = [], []
+    for g in elts:
+        bw = salsa20.keystream_block_words(region,
+                                           key_byte=GALOIS_KEY_BYTE,
+                                           nonce=nonce_eff,
+                                           counter0=int(g) * region,
+                                           impl=ks_impl)
+        a_rows.append(jnp.stack([
+            uniform(salsa20.block_words_u64(
+                bw, j * stride, r * n).reshape(r, n), ms)
+            for j in range(k)]))
+        e_rows.append(jnp.stack([
+            gaussian(salsa20.block_words_u32(
+                bw, j * stride + 8 * r * n, n), ms)
+            for j in range(k)]))
+    return jnp.stack(a_rows), jnp.stack(e_rows)

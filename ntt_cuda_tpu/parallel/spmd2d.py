@@ -61,6 +61,9 @@ class Spmd2DBFVContext:
     @staticmethod
     def build(params: BFVParams, mesh: Mesh,
               interpret: bool | None = None) -> "Spmd2DBFVContext":
+        if params.t & (params.t - 1):
+            raise ValueError("SPMD pipelines run the fused pallas tails, "
+                             "which assume a power-of-two t")
         R = mesh.shape[RNS_AXIS]
         C = mesh.shape[COEF_AXIS]
         if params.r % R != 0:

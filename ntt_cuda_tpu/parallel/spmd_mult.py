@@ -48,9 +48,7 @@ U64 = jnp.uint64
 _M32 = (1 << 32) - 1
 
 
-def _col(vals):
-    return jnp.asarray(np.array([int(v) for v in vals],
-                               dtype=np.uint64).reshape(-1, 1))
+_col = behz._col          # (vals) -> (len, 1) u64 column, one shared impl
 
 
 @dataclasses.dataclass(frozen=True)
@@ -285,18 +283,21 @@ class SpmdMultContext:
                 x.shape[0] == p.r else rep)
 
         banks = {kk: jax.device_put(v, rep) for kk, v in banks.items()}
+        use_pallas = ntt_impl != "xla"
         mc = SpmdMultConsts(
             **banks,
             ms_bsk=jax.tree.map(place,
                                 modmath.ModulusSet.from_moduli(aux.bsk)),
-            tables_bsk=jax.tree.map(
-                place, ntt.NTTTables.build(aux.bsk, aux.bsk_psi, p.n)),
-            ftab_bsk=jax.tree.map(
-                place, ntt_pallas.FourStepTables.build(aux.bsk,
-                                                       aux.bsk_psi, p.n)),
+            # each impl's dead table family stays unbuilt (_ops() uses
+            # exactly one of the two)
+            tables_bsk=(None if use_pallas else jax.tree.map(
+                place, ntt.NTTTables.build(aux.bsk, aux.bsk_psi, p.n))),
+            ftab_bsk=(jax.tree.map(
+                place, ntt_pallas.FourStepTables.build(
+                    aux.bsk, aux.bsk_psi, p.n)) if use_pallas else None),
         )
-        tables_q = jax.tree.map(
-            place, ntt.NTTTables.build(p.q, p.psi, p.n))
+        tables_q = (None if use_pallas else jax.tree.map(
+            place, ntt.NTTTables.build(p.q, p.psi, p.n)))
         return SpmdMultContext(base=base, mc=mc, tables_q=tables_q,
                                ntt_impl=ntt_impl)
 

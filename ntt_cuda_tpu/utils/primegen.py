@@ -55,18 +55,20 @@ def find_primitive_2n_root(q: int, n: int) -> int:
             raise ValueError(f"no generator found for q={q}")
 
 
-def generate_moduli(n: int, bits: int, count: int,
-                    multiple: int = 1) -> list[int]:
+def generate_moduli(n: int, bits: int, count: int, multiple: int = 1,
+                    exclude=()) -> list[int]:
     """`count` distinct primes of `bits` bits with q === 1 mod 2n*multiple,
     scanning downward from 2^bits (like SEAL's CoeffModulus).  `multiple`
     > 1 (e.g. a prime plaintext modulus t) additionally forces
     q === 1 mod t, the congruence the scheme's Delta-embedding assumes
-    (weird_m_stuff, bfv_encryption.cuh:194)."""
+    (weird_m_stuff, bfv_encryption.cuh:194).  `exclude` skips given
+    values (the auxiliary-base builder excludes the ciphertext moduli)."""
     step = 2 * n * multiple
     q = ((1 << bits) - 1) // step * step + 1
     out: list[int] = []
+    exclude = set(exclude)
     while len(out) < count and q > (1 << (bits - 1)):
-        if is_prime(q):
+        if q not in exclude and is_prime(q):
             out.append(q)
         q -= step
     if len(out) < count:

@@ -249,3 +249,19 @@ def test_mod_switch_chain_8k(rng):
     ps = ctx.mod_switch_to_next(prod3)
     assert ps.shape == (3, p.r - 2, p.n)
     assert np.asarray(nxt.decrypt(sk, ps)).tolist() == exp
+
+
+def test_galois_keys_element_indexed_streams(ctx4k, keys4k):
+    """Same nonce + different element sets never reuse randomness across
+    targets: a shared element reproduces its key exactly; distinct
+    elements draw from disjoint counter regions."""
+    p = ctx4k.params
+    sk, _, _ = keys4k
+    g1, g2 = 3, 5
+    k_a = ctx4k.galois_keygen(sk, [g1])
+    k_b = ctx4k.galois_keygen(sk, [g1, g2])
+    np.testing.assert_array_equal(np.asarray(k_a[g1]),
+                                  np.asarray(k_b[g1]))
+    # the uniform halves (rlk row 1 = the raw draws) must differ
+    assert not np.array_equal(np.asarray(k_b[g1])[1],
+                              np.asarray(k_b[g2])[1])
