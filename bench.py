@@ -455,17 +455,35 @@ def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
             return ctx.square(cc, rlk=rlk)
         return jax.lax.fori_loop(0, k, body, c)
 
+    J = int(os.environ.get("BENCH_MULT_J", "4"))
+    ct1b = jnp.broadcast_to(ct1, (J,) + ct1.shape)
+    ct2b = jnp.broadcast_to(ct2, (J,) + ct2.shape)
+
+    @jax.jit
+    def mul_batch_step(c, k):
+        def body(_, cc):
+            return ctx.mul(cc, ct2b, rlk=rlk)
+        return jax.lax.fori_loop(0, k, body, c)
+
     hi = max(16, (1 << 22) // (n * r))
     kw = dict(inner_lo=max(2, hi // 8), inner_hi=hi, reps=3, epochs=3)
     t_mul = profiling.time_chained_dynamic(mul_step, ct1, **kw)
     t_sq = profiling.time_chained_dynamic(sq_step, ct1, **kw)
-    if min(t_mul, t_sq) <= 0:
+    hij = max(4, hi // J)
+    t_mb = profiling.time_chained_dynamic(
+        mul_batch_step, ct1b, inner_lo=max(2, hij // 8), inner_hi=hij,
+        reps=3, epochs=3)
+    if min(t_mul, t_sq, t_mb) <= 0:
         raise RuntimeError("degenerate slope")
     row = {
         "mul_relin_us": round(t_mul * 1e6, 2),
         "square_relin_us": round(t_sq * 1e6, 2),
+        "J": J,
+        "mul_relin_us_per_msg_batched": round(t_mb / J * 1e6, 2),
+        "mul_relin_ops_per_s_batched": round(J / t_mb, 1),
     }
-    _log(f"[bench] mult {name}: mul {t_mul*1e6:.1f} sq {t_sq*1e6:.1f} us "
+    _log(f"[bench] mult {name}: mul {t_mul*1e6:.1f} sq {t_sq*1e6:.1f} "
+         f"batched {t_mb/J*1e6:.1f} us/msg "
          f"({time.perf_counter()-t0:.0f}s incl. compiles)")
     return row
 
