@@ -604,11 +604,14 @@ class BFVContext:
         return self.apply_galois(ct, g, gks[g])
 
     def _p_mont_bank(self):
+        """(r, 1) bank of P * R mod q_i (P = q_last); the last row is 0
+        (P === 0 mod q_last) and is never selected by the key-switch
+        diagonal mask — padded so it broadcasts against (r, n) rows."""
         pm = self._mult_cache.get("p_mont")
         if pm is None:
             p = self.params
             pm = jnp.asarray([[hm.to_mont(p.q[-1] % qj, qj)]
-                              for qj in p.q[:-1]], dtype=U64)
+                              for qj in p.q[:-1]] + [[0]], dtype=U64)
             self._mult_cache["p_mont"] = pm
         return pm
 
@@ -813,23 +816,28 @@ def _mult_jit(a, b, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
     the centered lifts Bsk sees — standard BEHZ)."""
     ab = behz.rns_to_bsk(a, mc)                      # (…, 2, k+1, n)
     bb = behz.rns_to_bsk(b, mc)
-    fa_q = _fwd(a, tables_q, ftab_q, ms_q, backend)
-    fb_q = _fwd(b, tables_q, ftab_q, ms_q, backend)
-    fa_b = _fwd(ab, tables_bsk, ftab_bsk, mc.ms_bsk, backend)
-    fb_b = _fwd(bb, tables_bsk, ftab_bsk, mc.ms_bsk, backend)
+    # both operands' forwards in ONE kernel sweep per base (modulus-major
+    # grid: each modulus's twiddles fetched once for all four polys)
+    fq = _fwd(jnp.stack([a, b], axis=-4), tables_q, ftab_q, ms_q, backend)
+    fb_ = _fwd(jnp.stack([ab, bb], axis=-4), tables_bsk, ftab_bsk,
+               mc.ms_bsk, backend)
 
-    def tensor(fa, fb, tables, ftab, ms):
+    def tensor(f, tables, ftab, ms):
+        fa, fb = f[..., 0, :, :, :], f[..., 1, :, :, :]
         a0, a1 = fa[..., 0, :, :], fa[..., 1, :, :]
         b0, b1 = fb[..., 0, :, :], fb[..., 1, :, :]
-        c0 = _inv_mul(a0, b0, tables, ftab, ms, backend)
+        # c0 = INTT(a0 b0), c2 = INTT(a1 b1): one fused inverse-mul sweep
+        outer = _inv_mul(jnp.stack([a0, a1], axis=-3),
+                         jnp.stack([b0, b1], axis=-3),
+                         tables, ftab, ms, backend)
         mid = modmath.add_mod(ntt.dyadic_mul(a0, b1, ms),
                               ntt.dyadic_mul(a1, b0, ms), ms.q)
         c1 = _inv(mid, tables, ftab, ms, backend)
-        c2 = _inv_mul(a1, b1, tables, ftab, ms, backend)
-        return jnp.stack([c0, c1, c2], axis=-3)
+        return jnp.stack([outer[..., 0, :, :], c1, outer[..., 1, :, :]],
+                         axis=-3)
 
-    pq = tensor(fa_q, fb_q, tables_q, ftab_q, ms_q)
-    pb = tensor(fa_b, fb_b, tables_bsk, ftab_bsk, mc.ms_bsk)
+    pq = tensor(fq, tables_q, ftab_q, ms_q)
+    pb = tensor(fb_, tables_bsk, ftab_bsk, mc.ms_bsk)
     return behz.scale_and_round(pq, pb, mc)
 
 
@@ -846,11 +854,11 @@ def _square_jit(a, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
 
     def tensor(fa, tables, ftab, ms):
         a0, a1 = fa[..., 0, :, :], fa[..., 1, :, :]
-        c0 = _inv_mul(a0, a0, tables, ftab, ms, backend)
+        outer = _inv_mul(fa, fa, tables, ftab, ms, backend)  # a0^2, a1^2
         t = ntt.dyadic_mul(a0, a1, ms)
         c1 = _inv(modmath.add_mod(t, t, ms.q), tables, ftab, ms, backend)
-        c2 = _inv_mul(a1, a1, tables, ftab, ms, backend)
-        return jnp.stack([c0, c1, c2], axis=-3)
+        return jnp.stack([outer[..., 0, :, :], c1, outer[..., 1, :, :]],
+                         axis=-3)
 
     pq = tensor(fa_q, tables_q, ftab_q, ms_q)
     pb = tensor(fa_b, tables_bsk, ftab_bsk, mc.ms_bsk)
@@ -864,17 +872,15 @@ def _kskeygen_body(a, e, sk, target_hat, ms, tables, ftab, p_mont,
     ksk0_j = NTT(-(a_j s + e_j)) + P*target at modulus row j
     (P = q_last; [P*q-tilde_j]_{q_i} = P*delta_ij, [.]_{q_last} = 0).
     Each key is exactly keygen's pk0 pipeline (bfv_keygen.cuh:120-145)
-    plus one scalar multiply-add."""
-    k = a.shape[0]
-    rlk0 = []
-    for j in range(k):
-        x = _inv_mul(a[j], sk, tables, ftab, ms, backend)
-        x = _fwd_addneg(x, e[j], tables, ftab, ms, backend)
-        term = modmath.mont_mul(target_hat[j], p_mont[j, 0],
-                                ms.q[j, 0], ms.qinv_neg[j, 0])
-        x = x.at[j].set(modmath.add_mod(x[j], term, ms.q[j, 0]))
-        rlk0.append(x)
-    return jnp.stack([jnp.stack(rlk0), a])           # (2, k, r, n)
+    plus one scalar multiply-add; all k keys' transforms run as TWO
+    kernel sweeps (k-batched, each modulus's twiddles fetched once)."""
+    k, r = a.shape[0], a.shape[1]
+    x = _inv_mul(a, sk, tables, ftab, ms, backend)       # (k, r, n)
+    x = _fwd_addneg(x, e, tables, ftab, ms, backend)
+    term = modmath.mont_mul(target_hat, p_mont, ms.q, ms.qinv_neg)
+    eye = (jnp.arange(k)[:, None] == jnp.arange(r)[None, :])[..., None]
+    x = jnp.where(eye, modmath.add_mod(x, term, ms.q), x)
+    return jnp.stack([x, a])                         # (2, k, r, n)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "r", "backend"))
