@@ -43,7 +43,8 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1 << 17)
     ap.add_argument("--r", type=int, default=8)
     ap.add_argument("--op", default="ntt",
-                    choices=["ntt", "bfv", "bfv-spmd", "bfv-spmd2d"])
+                    choices=["ntt", "bfv", "bfv-spmd", "bfv-spmd2d",
+                             "mul-spmd"])
     ap.add_argument("--qbits", type=int, default=55)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual devices; overrides "
@@ -96,7 +97,21 @@ def main() -> None:
             _, pk = sctx.keygen()
             m = jnp.asarray(np.arange(n, dtype=np.uint64) % params.t)
             dt = _bench(sctx.encrypt, (pk, m))
-        elif args.op == "bfv-spmd":
+        elif args.op == "mul-spmd":
+            # sharded EvalMult + relinearization (parallel/spmd_mult.py):
+            # row-local transforms, 4 all_gathers + 1 psum per multiply
+            from ntt_cuda_tpu.parallel import spmd, spmd_mult
+            if coef_ax != 1:
+                continue
+            sctx = spmd.SpmdBFVContext.build(params,
+                                             devices=devs[:rns_ax])
+            mctx = spmd_mult.SpmdMultContext.build(sctx)
+            sk, pk = sctx.keygen()
+            m = jnp.asarray(np.arange(n, dtype=np.uint64) % params.t)
+            ct1 = sctx.encrypt(pk, m, nonce=1)
+            ct2 = sctx.encrypt(pk, m, nonce=2)
+            rlk = mctx.relin_keygen(sk)
+            dt = _bench(lambda a, b: mctx.mul(a, b, rlk=rlk), (ct1, ct2))
             # explicit shard_map pipeline: rns-only mesh, fused Pallas
             # kernels per shard (the production multi-chip path)
             from ntt_cuda_tpu.parallel import spmd
