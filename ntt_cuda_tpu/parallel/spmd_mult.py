@@ -252,6 +252,41 @@ def _bsk_to_q_shard(x_loc, mc, idx, rl, k, q_loc, qinv_loc):
                      modmath.sub_mod(cq, corr, q_loc))
 
 
+def _keyswitch_shard(c2_loc, ksk_loc, ms, mc, idx, rl, r, k, fwd, inv):
+    """Key-switch one polynomial through k switching keys, shard-local:
+    gather the digit rows over 'rns', transform + accumulate against the
+    local key rows, then divide_and_round_q_last with the owner shard
+    broadcasting the adjusted last residue (one psum — the same
+    collective as encryption's modulus drop).  Returns (2, rl, n)."""
+    gidx = idx * rl + jnp.arange(rl)
+    c2_all = jax.lax.all_gather(c2_loc, "rns", axis=-2, tiled=True)
+    d = jnp.stack([
+        modmath.mod_u64(c2_all[j][None, :], ms.q, ms.nu)
+        for j in range(k)])                        # (k, rl, n)
+    dhat = fwd(d)
+    acc0 = acc1 = None
+    for j in range(k):
+        t0 = ntt.dyadic_mul(dhat[j], ksk_loc[0, j], ms)
+        t1 = ntt.dyadic_mul(dhat[j], ksk_loc[1, j], ms)
+        acc0 = t0 if acc0 is None else modmath.add_mod(acc0, t0, ms.q)
+        acc1 = t1 if acc1 is None else modmath.add_mod(acc1, t1, ms.q)
+    cc = inv(jnp.stack([acc0, acc1]))              # (2, rl, n)
+    own = (gidx == r - 1)[:, None]
+    ra = jnp.sum(jnp.where(own, cc, U64(0)), axis=-2)  # (2, n)
+    ra = jax.lax.psum(ra, "rns")
+    qlast = mc.q_all[r - 1, 0]
+    ra = ra + mc.half
+    ra = ra - qlast * (ra >= qlast).astype(U64)
+    half_mod_loc = jax.lax.dynamic_slice_in_dim(mc.half_mod, idx * rl, rl,
+                                                axis=0)
+    invq_loc = jax.lax.dynamic_slice_in_dim(mc.inv_qlast_mont, idx * rl,
+                                            rl, axis=0)
+    tmp = modmath.mod_u64(ra[:, None, :], ms.q, ms.nu)
+    tmp = tmp + ms.q * (tmp < half_mod_loc).astype(U64) - half_mod_loc
+    v = cc + ms.q * (cc < tmp).astype(U64) - tmp
+    return modmath.mont_mul(v, invq_loc, ms.q, ms.qinv_neg)
+
+
 @dataclasses.dataclass(frozen=True)
 class SpmdMultContext:
     """EvalMult over an SpmdBFVContext's mesh.  ntt_impl: "pallas"
@@ -395,6 +430,117 @@ class SpmdMultContext:
         fn, args = self._relinearize_program(ct3, rlk)
         return fn(*args)
 
+    def galois_keygen(self, sk, elts, nonce=0):
+        """Sharded Galois switching keys: {g: (2, k, r, n)
+        P(None, None, 'rns', None)}, bit-matching the single-chip keys
+        (element-value-indexed counter regions, sliced per shard)."""
+        from ..models.bfv import check_residues
+        sampling.check_user_nonce(nonce)
+        p = self.base.params
+        sk = check_residues("sk", sk, (p.r, p.n))
+        elts = sorted({int(g) for g in elts})
+        maps = [poly.galois_maps(p.n, g) for g in elts]
+        fn, args = self._galois_keygen_program(sk, tuple(elts), nonce)
+        keys = fn(*args)
+        return {g: keys[t] for t, g in enumerate(elts)}
+
+    def apply_galois(self, ct, g, gk):
+        """tau_g on a padded (2, r, n) ciphertext + key switch back to
+        sk; bit-identical on real rows to BFVContext.apply_galois."""
+        from ..models.bfv import check_residues
+        p = self.base.params
+        ct = check_residues("ct", ct, (2, p.r, p.n),
+                            "SPMD ciphertexts use the padded layout")
+        gk = check_residues("gk", gk, (2, p.r - 1, p.r, p.n))
+        perm, neg = poly.galois_maps(p.n, int(g))
+        fn, args = self._apply_galois_program(ct, gk, perm, neg)
+        return fn(*args)
+
+    def _galois_keygen_program(self, sk, elts, nonce):
+        p, r, k, n, R, rl = self._shard_ctx()
+        mc_spec, tq_spec = self._mc_specs()
+        ms_spec, ftab_spec, _, _ = self.base._specs()
+        fwd, inv, inv_mul, fwd_addneg = self._ops()
+        ksi = "xla" if self.base.interpret else "pallas"
+        from ..ops import salsa20
+        stride = 8 * r * n + 4 * n
+        region = (k * stride + 63) // 64
+        maps = [poly.galois_maps(n, g) for g in elts]
+        perms = jnp.asarray(np.stack([m[0] for m in maps]))
+        negs = jnp.asarray(np.stack([m[1] for m in maps]))
+
+        def body(nonce_, sk_loc, perms_, negs_, ms, ftab, mc, tq):
+            idx = jax.lax.axis_index("rns")
+            gidx = idx * rl + jnp.arange(rl)
+            p_loc = jax.lax.dynamic_slice_in_dim(mc.p_mont_q, idx * rl,
+                                                 rl, axis=0)
+            s_coef = inv(sk_loc, ftab, tq, ms)
+            out = []
+            for t, g in enumerate(elts):
+                ts = poly.galois_apply(s_coef, perms_[t], negs_[t], ms)
+                ts_hat = fwd(ts, ftab, tq, ms)
+                term = modmath.mont_mul(ts_hat, p_loc, ms.q, ms.qinv_neg)
+                keys = []
+                for j in range(k):
+                    c0a = (U64(g * region + j * stride // 64)
+                           + idx.astype(U64) * U64(rl * n // 8))
+                    bw_a = salsa20.keystream_block_words(
+                        rl * n // 8, key_byte=sampling.GALOIS_KEY_BYTE,
+                        nonce=nonce_, counter0=c0a, impl=ksi)
+                    a_j = sampling.uniform(
+                        salsa20.block_words_u64(bw_a, 0,
+                                                rl * n).reshape(rl, n),
+                        ms)
+                    bw_e = salsa20.keystream_block_words(
+                        (4 * n + 63) // 64,
+                        key_byte=sampling.GALOIS_KEY_BYTE, nonce=nonce_,
+                        counter0=g * region
+                        + (j * stride + 8 * r * n) // 64, impl=ksi)
+                    e_j = sampling.gaussian(
+                        salsa20.block_words_u32(bw_e, 0, n), ms)
+                    x = inv_mul(a_j, sk_loc, ftab, tq, ms)
+                    x = fwd_addneg(x, e_j, ftab, tq, ms)
+                    mask = (gidx == j)[:, None]
+                    x = jnp.where(mask, modmath.add_mod(x, term, ms.q), x)
+                    keys.append(jnp.stack([x, a_j]))
+                out.append(jnp.swapaxes(jnp.stack(keys), 0, 1))
+            return jnp.stack(out)                   # (E, 2, k, rl, n)
+
+        fn = shard_map(body, mesh=self.base.mesh,
+                       in_specs=(P(), P("rns", None), P(), P(),
+                                 ms_spec, ftab_spec, mc_spec, tq_spec),
+                       out_specs=P(None, None, None, "rns", None),
+                       check_vma=False)
+        return jax.jit(fn), (sampling.keygen_nonce(nonce), sk, perms,
+                             negs, self.base.ms, self.base.ftab, self.mc,
+                             self.tables_q)
+
+    def _apply_galois_program(self, ct, gk, perm, neg):
+        p, r, k, n, R, rl = self._shard_ctx()
+        mc_spec, tq_spec = self._mc_specs()
+        ms_spec, ftab_spec, _, _ = self.base._specs()
+        fwd, inv, inv_mul, _ = self._ops()
+
+        def body(ct_loc, gk_loc, perm_, neg_, ms, ftab, mc, tq):
+            idx = jax.lax.axis_index("rns")
+            tc = poly.galois_apply(ct_loc, perm_, neg_, ms)
+            cc = _keyswitch_shard(
+                tc[1], gk_loc, ms, mc, idx, rl, r, k,
+                lambda x: fwd(x, ftab, tq, ms),
+                lambda x: inv(x, ftab, tq, ms))
+            c0 = modmath.add_mod(tc[0], cc[0], ms.q)
+            return jnp.stack([c0, cc[1]])
+
+        fn = shard_map(body, mesh=self.base.mesh,
+                       in_specs=(P(None, "rns", None),
+                                 P(None, None, "rns", None), P(), P(),
+                                 ms_spec, ftab_spec, mc_spec, tq_spec),
+                       out_specs=P(None, "rns", None),
+                       check_vma=False)
+        return jax.jit(fn), (ct, gk, jnp.asarray(perm), jnp.asarray(neg),
+                             self.base.ms, self.base.ftab, self.mc,
+                             self.tables_q)
+
     def decrypt3(self, sk, ct3):
         """Padded 3-component decrypt: c0 + c1 s + c2 s^2 -> (n,)."""
         from ..models.bfv import check_residues
@@ -513,39 +659,10 @@ class SpmdMultContext:
 
         def body(ct3_loc, rlk_loc, ms, ftab, mc, tq):
             idx = jax.lax.axis_index("rns")
-            gidx = idx * rl + jnp.arange(rl)
-            c2_all = jax.lax.all_gather(ct3_loc[2], "rns", axis=-2,
-                                        tiled=True)        # (r, n)
-            d = jnp.stack([
-                modmath.mod_u64(c2_all[j][None, :], ms.q, ms.nu)
-                for j in range(k)])                        # (k, rl, n)
-            dhat = fwd(d, ftab, tq, ms)
-            acc0 = acc1 = None
-            for j in range(k):
-                t0 = ntt.dyadic_mul(dhat[j], rlk_loc[0, j], ms)
-                t1 = ntt.dyadic_mul(dhat[j], rlk_loc[1, j], ms)
-                acc0 = t0 if acc0 is None else modmath.add_mod(acc0, t0,
-                                                               ms.q)
-                acc1 = t1 if acc1 is None else modmath.add_mod(acc1, t1,
-                                                               ms.q)
-            cc = inv(jnp.stack([acc0, acc1]), ftab, tq, ms)  # (2, rl, n)
-            # divide_and_round_q_last, distributed: owner shard broadcasts
-            # the adjusted last residue (same collective as encryption's)
-            own = (gidx == r - 1)[:, None]
-            ra = jnp.sum(jnp.where(own, cc, U64(0)), axis=-2)  # (2, n)
-            ra = jax.lax.psum(ra, "rns")
-            qlast = mc.q_all[r - 1, 0]
-            ra = ra + mc.half
-            ra = ra - qlast * (ra >= qlast).astype(U64)
-            half_mod_loc = jax.lax.dynamic_slice_in_dim(
-                mc.half_mod, idx * rl, rl, axis=0)
-            invq_loc = jax.lax.dynamic_slice_in_dim(
-                mc.inv_qlast_mont, idx * rl, rl, axis=0)
-            tmp = modmath.mod_u64(ra[:, None, :], ms.q, ms.nu)
-            tmp = tmp + ms.q * (tmp < half_mod_loc).astype(U64) \
-                - half_mod_loc
-            v = cc + ms.q * (cc < tmp).astype(U64) - tmp
-            cc = modmath.mont_mul(v, invq_loc, ms.q, ms.qinv_neg)
+            cc = _keyswitch_shard(
+                ct3_loc[2], rlk_loc, ms, mc, idx, rl, r, k,
+                lambda x: fwd(x, ftab, tq, ms),
+                lambda x: inv(x, ftab, tq, ms))
             return modmath.add_mod(ct3_loc[:2], cc, ms.q)
 
         fn = shard_map(body, mesh=self.base.mesh,

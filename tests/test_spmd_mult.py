@@ -97,3 +97,19 @@ def test_spmd_mul_collective_structure(setup):
     n_gather = txt.count("all-gather(") + txt.count("all-gather-start(")
     assert n_gather == 4, txt[:0] or n_gather
     assert "all-reduce(" not in txt or txt.count("all-reduce(") == 0
+
+
+def test_spmd_galois_bitexact(setup):
+    """Sharded galois keys bit-match single-chip; apply_galois is
+    bit-identical on real rows."""
+    params, ref, sk, rlk, m1, m2, ct1, ct2 = setup
+    mctx = _mctx(params, 2)
+    g = 3
+    gks_ref = ref.galois_keygen(sk, [g], nonce=7)
+    gks_s = mctx.galois_keygen(sk, [g], nonce=7)
+    np.testing.assert_array_equal(np.asarray(gks_s[g]),
+                                  np.asarray(gks_ref[g]))
+    p1 = serialize.pad_ciphertext(ct1, params)
+    out_s = np.asarray(mctx.apply_galois(p1, g, gks_s[g]))
+    out_ref = np.asarray(ref.apply_galois(ct1, g, gks_ref[g]))
+    np.testing.assert_array_equal(out_s[:, : params.r - 1], out_ref)
