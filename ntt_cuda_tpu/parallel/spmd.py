@@ -224,6 +224,24 @@ class SpmdBFVContext:
                              jnp.asarray(m_poly, U64), self.ms, self.ftab,
                              self.tail_consts)
 
+    def add(self, ct_a, ct_b):
+        """Homomorphic addition on padded ciphertexts: elementwise,
+        row-local, zero collectives (decrypts to (m1 + m2) mod t).
+        Garbage pad rows stay garbage."""
+        return self._ct_elementwise("add", ct_a, ct_b, _padded_add_jit)
+
+    def sub(self, ct_a, ct_b):
+        """Homomorphic subtraction on padded ciphertexts (row-local)."""
+        return self._ct_elementwise("sub", ct_a, ct_b, _padded_sub_jit)
+
+    def _ct_elementwise(self, op, ct_a, ct_b, fn):
+        from ..models.bfv import check_residues
+        p = self.params
+        ct_a = check_residues(f"{op} lhs", ct_a, (2, p.r, p.n),
+                              "SPMD ciphertexts use the padded layout")
+        ct_b = check_residues(f"{op} rhs", ct_b, (2, p.r, p.n))
+        return fn(ct_a, ct_b, self.ms)
+
     def decrypt(self, sk, ct):
         """sk (r, n) NTT-domain, ct (2, r, n) padded -> (n,) plaintext,
         replicated.  One psum of the BEHZ partials."""
@@ -260,3 +278,15 @@ class SpmdBFVContext:
                        out_specs=P(),
                        check_vma=False)
         return jax.jit(fn), (sk, ct, self.ms, self.ftab, self.dec_consts)
+
+
+@jax.jit
+def _padded_add_jit(a, b, ms):
+    # exact mod-q add per residue row (garbage pad rows wrap harmlessly)
+    s = a + b
+    return s - ms.q * (s >= ms.q).astype(U64)
+
+
+@jax.jit
+def _padded_sub_jit(a, b, ms):
+    return a + ms.q * (a < b).astype(U64) - b

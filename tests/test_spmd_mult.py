@@ -113,3 +113,19 @@ def test_spmd_galois_bitexact(setup):
     out_s = np.asarray(mctx.apply_galois(p1, g, gks_s[g]))
     out_ref = np.asarray(ref.apply_galois(ct1, g, gks_ref[g]))
     np.testing.assert_array_equal(out_s[:, : params.r - 1], out_ref)
+
+
+def test_spmd_add_sub(setup):
+    """Padded elementwise EvalAdd/EvalSub match the single-chip ops on
+    real rows (zero collectives)."""
+    params, ref, sk, rlk, m1, m2, ct1, ct2 = setup
+    base = spmd.SpmdBFVContext.build(params, devices=jax.devices()[:2],
+                                     interpret=True)
+    p1 = serialize.pad_ciphertext(ct1, params)
+    p2 = serialize.pad_ciphertext(ct2, params)
+    s = np.asarray(base.add(p1, p2))
+    np.testing.assert_array_equal(s[:, : params.r - 1],
+                                  np.asarray(ref.add(ct1, ct2)))
+    d = np.asarray(base.sub(p1, p2))
+    np.testing.assert_array_equal(d[:, : params.r - 1],
+                                  np.asarray(ref.sub(ct1, ct2)))
