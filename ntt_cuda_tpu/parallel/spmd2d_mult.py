@@ -19,6 +19,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -36,6 +37,49 @@ U64 = jnp.uint64
 def _tables_of(cnt):
     return (cnt.psi_mont, cnt.psiinv_mont, cnt.q, cnt.qinv, cnt.ta, cnt.tc,
             cnt.tb, cnt.tai, cnt.tci, cnt.tbi, cnt.qconst, cnt.tcir)
+
+
+def _keyswitch2d(c2_loc, ksk_loc, ms, mc, ri, ci, rl, r, k, fwd, inv):
+    """parallel/spmd_mult._keyswitch_shard on the 2-D mesh: the digit
+    rows gather over 'rns' (coefficients are elementwise-local), the
+    transforms take the cross+local composition, and the modulus drop
+    broadcasts the adjusted last residue with one rns psum."""
+    gidx = ri * rl + jnp.arange(rl)
+    c2_all = jax.lax.all_gather(c2_loc, RNS_AXIS, axis=-2, tiled=True)
+    d = jnp.stack([
+        modmath.mod_u64(c2_all[j][None, :], ms.q, ms.nu)
+        for j in range(k)])                           # (k, rl, S)
+    dhat = fwd(d, ci)
+    acc0 = acc1 = None
+    for j in range(k):
+        t0 = ntt.dyadic_mul(dhat[j], ksk_loc[0, j], ms)
+        t1 = ntt.dyadic_mul(dhat[j], ksk_loc[1, j], ms)
+        acc0 = t0 if acc0 is None else modmath.add_mod(acc0, t0, ms.q)
+        acc1 = t1 if acc1 is None else modmath.add_mod(acc1, t1, ms.q)
+    cc = inv(jnp.stack([acc0, acc1]), ci)             # (2, rl, S)
+    own = (gidx == r - 1)[:, None]
+    ra = jnp.sum(jnp.where(own, cc, U64(0)), axis=-2)
+    ra = jax.lax.psum(ra, RNS_AXIS)
+    qlast = mc.q_all[r - 1, 0]
+    ra = ra + mc.half
+    ra = ra - qlast * (ra >= qlast).astype(U64)
+    half_mod_loc = jax.lax.dynamic_slice_in_dim(mc.half_mod, ri * rl, rl,
+                                                axis=0)
+    invq_loc = jax.lax.dynamic_slice_in_dim(mc.inv_qlast_mont, ri * rl,
+                                            rl, axis=0)
+    tmp = modmath.mod_u64(ra[:, None, :], ms.q, ms.nu)
+    tmp = tmp + ms.q * (tmp < half_mod_loc).astype(U64) - half_mod_loc
+    v = cc + ms.q * (cc < tmp).astype(U64) - tmp
+    return modmath.mont_mul(v, invq_loc, ms.q, ms.qinv_neg)
+
+
+def _galois_apply_2d(x_loc, perm, neg, ms, ci, S):
+    """A GLOBAL coefficient permutation under coef sharding: gather the
+    full coefficient axis over 'coef', permute, keep the local slice —
+    the automorphism's one unavoidable cross-coef exchange."""
+    x_all = jax.lax.all_gather(x_loc, COEF_AXIS, axis=-1, tiled=True)
+    out = poly.galois_apply(x_all, perm, neg, ms)
+    return jax.lax.dynamic_slice_in_dim(out, ci * S, S, axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +176,131 @@ class Spmd2DMultContext:
         rlk = check_residues("rlk", rlk, (2, p.r - 1, p.r, p.n))
         fn, args = self._relinearize_program(ct3, rlk)
         return fn(*args)
+
+    def galois_keygen(self, sk, elts, nonce=0):
+        """Sharded Galois keys on the 2-D mesh: {g: (2, k, r, n)
+        P(None, None, 'rns', 'coef')}, bit-matching single-chip."""
+        from ..models.bfv import check_residues
+        sampling.check_user_nonce(nonce)
+        p = self.base.params
+        sk = check_residues("sk", sk, (p.r, p.n))
+        elts = sorted({int(g) for g in elts})
+        for g in elts:
+            poly.galois_maps(p.n, g)        # validates each element
+        fn, args = self._galois_keygen_program(sk, tuple(elts), nonce)
+        keys = fn(*args)
+        return {g: keys[t] for t, g in enumerate(elts)}
+
+    def apply_galois(self, ct, g, gk):
+        """tau_g on a padded (2, r, n) ciphertext: one coef all_gather
+        for the global permutation, then the rns key switch."""
+        from ..models.bfv import check_residues
+        p = self.base.params
+        ct = check_residues("ct", ct, (2, p.r, p.n))
+        gk = check_residues("gk", gk, (2, p.r - 1, p.r, p.n))
+        perm, neg = poly.galois_maps(p.n, int(g))
+        fn, args = self._apply_galois_program(ct, gk, perm, neg)
+        return fn(*args)
+
+    def _galois_keygen_program(self, sk, elts, nonce):
+        p, r, k, n, R, C, rl, S = self._geom()
+        interp = self.base.interpret
+        make = self._transforms(interp, n, C, S)
+        tq_specs = self.base._table_specs()
+        ksi = "xla" if interp else "pallas"
+        stride = 8 * r * n + 4 * n
+        region = (k * stride + 63) // 64
+        maps = [poly.galois_maps(n, g) for g in elts]
+        perms = jnp.asarray(np.stack([m[0] for m in maps]))
+        negs = jnp.asarray(np.stack([m[1] for m in maps]))
+
+        def body(nonce_, sk_loc, perms_, negs_, ms, mc, *tabs):
+            ri = jax.lax.axis_index(RNS_AXIS)
+            ci = jax.lax.axis_index(COEF_AXIS)
+            fwd_q, inv_q, inv_mul_q = make(tabs, ms)
+            (pm, pmi, q, qinv, ta, tc, tb, tai, tci, tbi, qc,
+             tcir) = tabs
+            ftab = _ftab_local(ta, tc, tb, tai, tci, tbi, qc, tcir, S)
+            gidx = ri * rl + jnp.arange(rl)
+            p_loc = jax.lax.dynamic_slice_in_dim(mc.p_mont_q, ri * rl,
+                                                 rl, axis=0)
+            s_coef = inv_q(sk_loc, ci)
+            out = []
+            for t, g in enumerate(elts):
+                ts = _galois_apply_2d(s_coef, perms_[t], negs_[t], ms,
+                                      ci, S)
+                ts_hat = fwd_q(ts, ci)
+                term = modmath.mont_mul(ts_hat, p_loc, ms.q, ms.qinv_neg)
+                keys = []
+                for j in range(k):
+                    lanes = []
+                    for jj in range(rl):
+                        c0a = (U64(g * region + j * stride // 64)
+                               + (ri.astype(U64) * U64(rl) + U64(jj))
+                               * U64(n // 8)
+                               + ci.astype(U64) * U64(S // 8))
+                        bw = salsa20.keystream_block_words(
+                            S // 8, key_byte=sampling.GALOIS_KEY_BYTE,
+                            nonce=nonce_, counter0=c0a, impl=ksi)
+                        lanes.append(salsa20.block_words_u64(bw, 0, S))
+                    a_j = sampling.uniform(jnp.stack(lanes), ms)
+                    c0e = (U64(g * region
+                               + (j * stride + 8 * r * n) // 64)
+                           + ci.astype(U64) * U64(S // 16))
+                    bw_e = salsa20.keystream_block_words(
+                        S // 16, key_byte=sampling.GALOIS_KEY_BYTE,
+                        nonce=nonce_, counter0=c0e, impl=ksi)
+                    e_j = sampling.gaussian(
+                        salsa20.block_words_u32(bw_e, 0, S), ms)
+                    x = ntt_pallas.ntt_inverse_mul(a_j, sk_loc, ftab,
+                                                   interpret=interp)
+                    x = coef_pallas.cross_inv(x, pmi, q, qinv, n, C, ci)
+                    x = poly.poly_add_negate(x, e_j, ms)
+                    x = coef_pallas.cross_fwd(x, pm, q, qinv, n, C, ci)
+                    x = ntt_pallas.ntt_forward(x, ftab, interpret=interp)
+                    mask = (gidx == j)[:, None]
+                    x = jnp.where(mask, modmath.add_mod(x, term, ms.q),
+                                  x)
+                    keys.append(jnp.stack([x, a_j]))
+                out.append(jnp.swapaxes(jnp.stack(keys), 0, 1))
+            return jnp.stack(out)               # (E, 2, k, rl, S)
+
+        fn = shard_map(
+            body, mesh=self.base.mesh,
+            in_specs=(P(), P(RNS_AXIS, COEF_AXIS), P(), P(),
+                      self.base._ms_spec(), self._mc_spec()) + tq_specs,
+            out_specs=P(None, None, None, RNS_AXIS, COEF_AXIS),
+            check_vma=False)
+        return jax.jit(fn), ((sampling.keygen_nonce(nonce), sk, perms,
+                              negs, self.base.ms, self.mc)
+                             + self.base._tables())
+
+    def _apply_galois_program(self, ct, gk, perm, neg):
+        p, r, k, n, R, C, rl, S = self._geom()
+        interp = self.base.interpret
+        make = self._transforms(interp, n, C, S)
+        tq_specs = self.base._table_specs()
+
+        def body(ct_loc, gk_loc, perm_, neg_, ms, mc, *tabs):
+            ri = jax.lax.axis_index(RNS_AXIS)
+            ci = jax.lax.axis_index(COEF_AXIS)
+            fwd_q, inv_q, inv_mul_q = make(tabs, ms)
+            tc_ = _galois_apply_2d(ct_loc, perm_, neg_, ms, ci, S)
+            cc = _keyswitch2d(tc_[1], gk_loc, ms, mc, ri, ci, rl, r, k,
+                              fwd_q, inv_q)
+            c0 = modmath.add_mod(tc_[0], cc[0], ms.q)
+            return jnp.stack([c0, cc[1]])
+
+        fn = shard_map(
+            body, mesh=self.base.mesh,
+            in_specs=(P(None, RNS_AXIS, COEF_AXIS),
+                      P(None, None, RNS_AXIS, COEF_AXIS), P(), P(),
+                      self.base._ms_spec(), self._mc_spec()) + tq_specs,
+            out_specs=P(None, RNS_AXIS, COEF_AXIS),
+            check_vma=False)
+        return jax.jit(fn), ((ct, gk, jnp.asarray(perm),
+                              jnp.asarray(neg), self.base.ms, self.mc)
+                             + self.base._tables())
 
     def decrypt3(self, sk, ct3):
         from ..models.bfv import check_residues
@@ -283,37 +452,8 @@ class Spmd2DMultContext:
             ri = jax.lax.axis_index(RNS_AXIS)
             ci = jax.lax.axis_index(COEF_AXIS)
             fwd_q, inv_q, inv_mul_q = make(tabs, ms)
-            gidx = ri * rl + jnp.arange(rl)
-            c2_all = jax.lax.all_gather(ct3_loc[2], RNS_AXIS, axis=-2,
-                                        tiled=True)          # (r, S)
-            d = jnp.stack([
-                modmath.mod_u64(c2_all[j][None, :], ms.q, ms.nu)
-                for j in range(k)])                           # (k, rl, S)
-            dhat = fwd_q(d, ci)
-            acc0 = acc1 = None
-            for j in range(k):
-                t0 = ntt.dyadic_mul(dhat[j], rlk_loc[0, j], ms)
-                t1 = ntt.dyadic_mul(dhat[j], rlk_loc[1, j], ms)
-                acc0 = t0 if acc0 is None else modmath.add_mod(acc0, t0,
-                                                               ms.q)
-                acc1 = t1 if acc1 is None else modmath.add_mod(acc1, t1,
-                                                               ms.q)
-            cc = inv_q(jnp.stack([acc0, acc1]), ci)           # (2, rl, S)
-            own = (gidx == r - 1)[:, None]
-            ra = jnp.sum(jnp.where(own, cc, U64(0)), axis=-2)
-            ra = jax.lax.psum(ra, RNS_AXIS)
-            qlast = mc.q_all[r - 1, 0]
-            ra = ra + mc.half
-            ra = ra - qlast * (ra >= qlast).astype(U64)
-            half_mod_loc = jax.lax.dynamic_slice_in_dim(
-                mc.half_mod, ri * rl, rl, axis=0)
-            invq_loc = jax.lax.dynamic_slice_in_dim(
-                mc.inv_qlast_mont, ri * rl, rl, axis=0)
-            tmp = modmath.mod_u64(ra[:, None, :], ms.q, ms.nu)
-            tmp = tmp + ms.q * (tmp < half_mod_loc).astype(U64) \
-                - half_mod_loc
-            v = cc + ms.q * (cc < tmp).astype(U64) - tmp
-            cc = modmath.mont_mul(v, invq_loc, ms.q, ms.qinv_neg)
+            cc = _keyswitch2d(ct3_loc[2], rlk_loc, ms, mc, ri, ci, rl, r,
+                              k, fwd_q, inv_q)
             return modmath.add_mod(ct3_loc[:2], cc, ms.q)
 
         fn = shard_map(

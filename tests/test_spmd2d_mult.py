@@ -62,3 +62,18 @@ def test_2d_relin_bitexact(setup):
     exp = golden.schoolbook_negacyclic(m1.tolist(), m2.tolist(),
                                        params.t, params.n)
     assert out.tolist() == exp
+
+
+def test_2d_galois_bitexact(setup):
+    """2-D sharded galois keys + apply bit-match single-chip (the global
+    coefficient permutation gathers once over 'coef')."""
+    params, ref, sk, rlk, m1, m2, ct1, ct2, mctx = setup
+    g = 3
+    gks_ref = ref.galois_keygen(sk, [g], nonce=8)
+    gks_s = mctx.galois_keygen(sk, [g], nonce=8)
+    np.testing.assert_array_equal(np.asarray(gks_s[g]),
+                                  np.asarray(gks_ref[g]))
+    p1 = serialize.pad_ciphertext(ct1, params)
+    out_s = np.asarray(mctx.apply_galois(p1, g, gks_s[g]))
+    out_ref = np.asarray(ref.apply_galois(ct1, g, gks_ref[g]))
+    np.testing.assert_array_equal(out_s[:, : params.r - 1], out_ref)
