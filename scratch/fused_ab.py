@@ -11,6 +11,8 @@ import os
 import sys
 import time
 
+sys.setrecursionlimit(20000)  # op-fused jaxprs overflow the 1000 default
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
