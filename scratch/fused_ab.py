@@ -74,6 +74,9 @@ def main():
         try:
             run_set(name)
         except Exception as exc:
+            import traceback
+            tb = traceback.format_exc().splitlines()
+            log("\n".join(tb[:15] + ["..."] + tb[-25:]))
             log(f"=== {name} FAILED: {exc!r:.400}")
 
 
