@@ -517,8 +517,13 @@ def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
     mmap = lambda m, j, h, pm, gl, qc: (j, z, z)
     # m-independent parking: the m=0 steps keep index 0 resident, which
     # the m=1 write then overwrites in VMEM (no garbage flush to HBM)
+    # z (np.int32), NOT a python 0: under x64 a bare literal branch makes
+    # jnp.where emit a convert_element_type(i64->i32) in the index-map
+    # jaxpr, and Mosaic's _convert_helper recurses forever on 64-bit
+    # casts — this single literal was the round-3 "32k op schedule
+    # RecursionError" (tests/test_lowering.py guards the whole package)
     omap = lambda m, j, h, pm, gl, qc: (
-        jnp.where(m == 0, 0, j * rk + m - 1), z, z)
+        jnp.where(m == 0, z, j * rk + m - 1), z, z)
     tmap = lambda m, j, h, pm, gl, qc: (res(m), z, z, z)
     bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
     ts = lambda rows, im: pl.BlockSpec((1, 4, rows, N2), im,
