@@ -55,6 +55,13 @@ BASELINE_BFV_US = {
     "32k_9q": (273.73, 276.10, 160.05),
     "32k_16q": (427.81, 514.73, 246.48),
 }
+# Arithmetic-derived single-v5e VPU speed-of-light floors (us):
+# (keygen, encrypt, decrypt) — transform count x ~11 us/transform at
+# n=2^15 + draw/tail work (README "roofline" section, commit 3bb0aec)
+ROOFLINE_FLOOR_US = {
+    "32k_9q": (300.0, 300.0, 195.0),
+    "32k_16q": (530.0, 540.0, 350.0),
+}
 
 
 def _log(msg):
@@ -64,12 +71,17 @@ def _log(msg):
 _T0 = time.time()
 # soft wall-clock budget: cold first compiles through the TPU tunnel run
 # 20-170 s per shape, and the full sweep has ~30 of them — never let the
-# harness die without printing the headline JSON line
-DEADLINE_SEC = float(os.environ.get("BENCH_DEADLINE_SEC", "2700"))
+# harness die without printing the headline JSON line.  2400 s leaves
+# ~500 s of compile headroom under the hard deadline for a section
+# already in flight (the round-3 artifact died because a 32k compile
+# sweep in progress could not be cut by the *future*-section-only check).
+DEADLINE_SEC = float(os.environ.get("BENCH_DEADLINE_SEC", "2400"))
 
 
-def _over_budget() -> bool:
-    return time.time() - _T0 > DEADLINE_SEC
+def _over_budget(reserve_sec: float = 0.0) -> bool:
+    """True once the soft budget (minus a reservation for the section's
+    own expected compile cost) is spent."""
+    return time.time() - _T0 > DEADLINE_SEC - reserve_sec
 
 
 def bench_transforms():
@@ -247,7 +259,10 @@ def bench_bfv(set_names):
 
     results = {}
     for name in set_names:
-        if _over_budget():
+        # reserve the section's own worst-case compile sweep: a 32k set
+        # admitted at the budget edge would blow through the hard
+        # deadline mid-compile (the round-3 artifact killer)
+        if _over_budget(reserve_sec=500.0 if name.startswith("32k") else 120.0):
             _log(f"[bench] over time budget, skipping {name}")
             continue
         try:
@@ -275,6 +290,7 @@ def _bench_bfv_one(bfv, get_bfv_params, profiling, jax, jnp, name):
         ctx = bfv.BFVContext.build(p, fusion="stage")
         sk, pk = ctx.keygen()
         ct = ctx.encrypt(pk, m)
+        jax.block_until_ready(ct)
 
     @jax.jit
     def kg_step(seed, k):
@@ -308,6 +324,7 @@ def _bench_bfv_one(bfv, get_bfv_params, profiling, jax, jnp, name):
     if min(t_kg, t_enc, t_dec) <= 0:
         raise RuntimeError("degenerate slope")
     row = {
+        "fusion": ctx.fusion,
         "keygen_us": round(t_kg * 1e6, 2),
         "encrypt_us": round(t_enc * 1e6, 2),
         "decrypt_us": round(t_dec * 1e6, 2),
@@ -315,6 +332,16 @@ def _bench_bfv_one(bfv, get_bfv_params, profiling, jax, jnp, name):
         "encrypt_vs_baseline": round(b_enc / (t_enc * 1e6), 3),
         "decrypt_vs_baseline": round(b_dec / (t_dec * 1e6), 3),
     }
+    if name in ROOFLINE_FLOOR_US:
+        # arithmetic-derived single-chip floors (README "Why the 32k
+        # gap is architectural"): measured/floor <= ~1.2 supports the
+        # architectural claim; the batched ops/s sections carry the
+        # throughput-parity story
+        fl = ROOFLINE_FLOOR_US[name]
+        row["roofline_floor_us"] = fl
+        row["keygen_vs_floor"] = round(t_kg * 1e6 / fl[0], 2)
+        row["encrypt_vs_floor"] = round(t_enc * 1e6 / fl[1], 2)
+        row["decrypt_vs_floor"] = round(t_dec * 1e6 / fl[2], 2)
     _log(f"[bench] {name}: kg {t_kg*1e6:.1f} enc {t_enc*1e6:.1f} "
          f"dec {t_dec*1e6:.1f} us "
          f"({time.perf_counter()-t0:.0f}s incl. compiles)")
@@ -335,7 +362,8 @@ def bench_bfv_batched(set_names, J=16):
 
     results = {}
     for name in set_names:
-        if _over_budget():
+        if _over_budget(reserve_sec=300.0 if name.startswith("32k")
+                        else 120.0):
             _log(f"[bench] over time budget, skipping batched {name}")
             continue
         try:
@@ -419,7 +447,8 @@ def bench_bfv_mult(set_names):
 
     results = {}
     for name in set_names:
-        if _over_budget():
+        if _over_budget(reserve_sec=400.0 if name.startswith("32k")
+                        else 150.0):
             _log(f"[bench] over time budget, skipping mult {name}")
             continue
         try:
@@ -476,6 +505,7 @@ def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
     if min(t_mul, t_sq, t_mb) <= 0:
         raise RuntimeError("degenerate slope")
     row = {
+        "fusion": ctx.fusion,
         "mul_relin_us": round(t_mul * 1e6, 2),
         "square_relin_us": round(t_sq * 1e6, 2),
         "J": J,
@@ -528,7 +558,10 @@ def _arm_hard_deadline() -> None:
     import threading
 
     def watchdog():
-        limit = float(os.environ.get("BENCH_HARD_DEADLINE_SEC", "5400"))
+        # Default BELOW the driver's observed ~3600 s external kill (the
+        # round-3 run died rc=124 with the 5400 s default armed — a
+        # safety net that fires after death catches nothing).
+        limit = float(os.environ.get("BENCH_HARD_DEADLINE_SEC", "2950"))
         time.sleep(max(0.0, _T0 + limit - time.time()))
         h = _HEADLINE_STATE.get("headline")
         if h is None:
@@ -548,18 +581,47 @@ def _arm_hard_deadline() -> None:
     threading.Thread(target=watchdog, daemon=True).start()
 
 
+def _flush_artifact():
+    """Write bench_detail.json AND print the best-so-far headline line to
+    stdout.  Called after EVERY section: an external kill mid-section
+    leaves the last complete headline as the final stdout JSON line, so
+    the driver artifact can never be parsed=null again (round-3 failure
+    mode: the only print lived in a finally the external SIGKILL never
+    reached)."""
+    h = _HEADLINE_STATE.get("headline")
+    d = _HEADLINE_STATE.get("detail")
+    if h is None:
+        return
+    record = dict(h)
+    record["detail"] = d if d is not None else {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json"), "w") as f:
+            json.dump(record, f, indent=1)
+    except Exception as exc:
+        _log(f"[bench] could not write bench_detail.json: {exc!r}")
+    print(json.dumps(h), flush=True)
+
+
 def _section(label, detail, key, fn, *a):
     """Run one bench section; a failure (e.g. a Mosaic compile error on one
-    kernel family) must never kill the artifact — log, record, continue."""
+    kernel family) must never kill the artifact — log, record, continue.
+    Every section exit (success or failure) re-emits the artifact."""
     try:
         out = fn(*a)
         if key is not None:
-            detail[key] = out
+            if key in detail and isinstance(detail[key], dict) \
+                    and isinstance(out, dict):
+                detail[key].update(out)   # merged multi-call sections
+            else:
+                detail[key] = out
         return out
     except Exception as exc:
         _log(f"[bench] section {label} failed: {exc!r:.300}")
         detail.setdefault("sections_failed", []).append(label)
         return None
+    finally:
+        _flush_artifact()
 
 
 def main() -> None:
@@ -580,6 +642,7 @@ def main() -> None:
     }
     _HEADLINE_STATE["headline"] = headline
     detail = {}
+    _HEADLINE_STATE["detail"] = detail
     try:
         try:
             import jax
@@ -606,6 +669,32 @@ def main() -> None:
                 "intt_vs_baseline": round(BASELINE_INTT_US / tf["intt"], 3),
                 "intt_epochs_us": tf["intt_epochs"],
             })
+        # Section order is priority order under the kill window: the
+        # never-yet-captured numbers run FIRST after the headline
+        # (round 3 buried bfv_mult behind ~1000 s of 32k compiles and
+        # the external kill took exactly the numbers that had never
+        # been measured).  NTT sweeps that have been captured in two
+        # prior rounds run last.
+        if os.environ.get("BENCH_NTT_ONLY", "") != "1":
+            sets = os.environ.get("BENCH_SETS", "")
+            if sets:
+                names = [s for s in sets.split(",") if s]
+                _section("bfv_table7", detail, "bfv_table7",
+                         bench_bfv, names)
+            else:
+                _section("bfv_table7:32k_9q", detail, "bfv_table7",
+                         bench_bfv, ["32k_9q"])
+                msets = os.environ.get("BENCH_MULT_SETS", "32k_9q,16k_5q")
+                _section("bfv_mult", detail, "bfv_mult",
+                         bench_bfv_mult, [s for s in msets.split(",") if s])
+                _section("bfv_table7:32k_16q", detail, "bfv_table7",
+                         bench_bfv, ["32k_16q"])
+                bsets = os.environ.get("BENCH_BATCH_SETS", "32k_9q,16k_5q")
+                _section("bfv_batched", detail, "bfv_batched",
+                         bench_bfv_batched,
+                         [s for s in bsets.split(",") if s])
+                _section("bfv_table7:small", detail, "bfv_table7",
+                         bench_bfv, ["16k_5q", "4k_3q", "8k_4q"])
         t30 = _section("transforms30", detail, None, bench_transforms30)
         if t30 and t30["ntt30"] > 0 and t30["intt30"] > 0:
             detail.update({
@@ -618,34 +707,13 @@ def main() -> None:
             })
         _section("table6_55bit", detail, "table6_55bit", bench_table6)
         _section("table6_30bit", detail, "table6_30bit", bench_table6_30bit)
-        if os.environ.get("BENCH_NTT_ONLY", "") != "1":
-            sets = os.environ.get("BENCH_SETS", "")
-            # headline 32k sets first: a time-budget cut drops small sets
-            names = ([s for s in sets.split(",") if s] if sets
-                     else ["32k_9q", "32k_16q", "4k_3q", "8k_4q", "16k_5q"])
-            _section("bfv_table7", detail, "bfv_table7", bench_bfv, names)
-            bsets = os.environ.get("BENCH_BATCH_SETS", "32k_9q,16k_5q")
-            _section("bfv_batched", detail, "bfv_batched",
-                     bench_bfv_batched, [s for s in bsets.split(",") if s])
-            msets = os.environ.get("BENCH_MULT_SETS", "16k_5q,32k_9q")
-            _section("bfv_mult", detail, "bfv_mult",
-                     bench_bfv_mult, [s for s in msets.split(",") if s])
     finally:
         if "sections_failed" in detail:
             headline["sections_failed"] = detail["sections_failed"]
-        record = dict(headline)
-        record["detail"] = detail
-        try:
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "bench_detail.json"), "w") as f:
-                json.dump(record, f, indent=1)
-        except Exception as exc:
-            _log(f"[bench] could not write bench_detail.json: {exc!r}")
         # The compact headline is the FINAL stdout line (round 2's
         # full-record print overflowed the driver's tail capture; detail
         # lives only in bench_detail.json).
-        print(json.dumps(headline), flush=True)
+        _flush_artifact()
 
 
 if __name__ == "__main__":
