@@ -292,34 +292,40 @@ def _bench_bfv_one(bfv, get_bfv_params, profiling, jax, jnp, name):
         ct = ctx.encrypt(pk, m)
         jax.block_until_ready(ct)
 
+    # thread the table bundles as runtime buffers (op_programs): a 32k
+    # module with inlined tables costs minutes of remote-compile upload
+    # through the relay
+    kg_fn, enc_fn, dec_fn, _, _, bz = ctx.op_programs()
+
     @jax.jit
-    def kg_step(seed, k):
+    def kg_step(seed, k, pkx, mx, bzz):
         def body(_, s):
-            skk, pkk = ctx.keygen(nonce=s)
+            skk, pkk = kg_fn(s, bzz)
             # consume sk AND pk: XLA DCEs 2 of keygen's 3 NTT batches
             # otherwise
             return skk[0, 0] + pkk[0, 0, 0] + pkk[1, 0, 0]
         return jax.lax.fori_loop(0, k, body, seed)
 
     @jax.jit
-    def enc_step(c, k):
+    def enc_step(c, k, pkx, mx, bzz):
         def body(_, cc):
-            return ctx.encrypt(pk, m, nonce=cc[0, 0, 0])
+            return enc_fn(cc[0, 0, 0], pkx, mx, bzz)
         return jax.lax.fori_loop(0, k, body, c)
 
     @jax.jit
-    def dec_step(c, k):
+    def dec_step(c, k, skx, mx, bzz):
         def body(_, cc):
-            out = ctx.decrypt(sk, cc)
+            out = dec_fn(skx, cc, bzz)
             return cc.at[0, 0, 0].set((cc[0, 0, 0] + out[0]) % q0)
         return jax.lax.fori_loop(0, k, body, c)
 
     hi = max(64, (1 << 24) // (n * r))
     lo = hi // 8
     kw = dict(inner_lo=lo, inner_hi=hi, reps=3, epochs=3)
-    t_kg = profiling.time_chained_dynamic(kg_step, jnp.uint64(1), **kw)
-    t_enc = profiling.time_chained_dynamic(enc_step, ct, **kw)
-    t_dec = profiling.time_chained_dynamic(dec_step, ct, **kw)
+    t_kg = profiling.time_chained_dynamic(kg_step, jnp.uint64(1), pk, m,
+                                          bz, **kw)
+    t_enc = profiling.time_chained_dynamic(enc_step, ct, pk, m, bz, **kw)
+    t_dec = profiling.time_chained_dynamic(dec_step, ct, sk, m, bz, **kw)
     b_kg, b_enc, b_dec = BASELINE_BFV_US[name]
     if min(t_kg, t_enc, t_dec) <= 0:
         raise RuntimeError("degenerate slope")
@@ -396,25 +402,28 @@ def _bench_bfv_batched_one(bfv, get_bfv_params, profiling, jax, jnp,
         sk, pk = ctx.keygen()
         cts = ctx.encrypt_batch(pk, m_batch, nonces0)
 
+    _, _, _, enc_batch_fn, dec_batch_fn, bz = ctx.op_programs()
+
     @jax.jit
-    def enc_step(c, k):
+    def enc_step(c, k, pkx, mb, bzz):
         def body(_, cc):
-            return ctx.encrypt_batch(pk, m_batch,
-                                     nonces0 + cc[0, 0, 0, 0])
+            return enc_batch_fn(nonces0 + cc[0, 0, 0, 0], pkx, mb, bzz)
         return jax.lax.fori_loop(0, k, body, c)
 
     @jax.jit
-    def dec_step(c, k):
+    def dec_step(c, k, skx, mb, bzz):
         def body(_, cc):
-            out = ctx.decrypt_batch(sk, cc)
+            out = dec_batch_fn(skx, cc, bzz)
             return cc.at[0, 0, 0, 0].set((cc[0, 0, 0, 0] + out[0, 0])
                                          % q0)
         return jax.lax.fori_loop(0, k, body, c)
 
     hi = max(16, (1 << 24) // (n * r * J))
     kw = dict(inner_lo=max(2, hi // 8), inner_hi=hi, reps=3, epochs=3)
-    t_enc = profiling.time_chained_dynamic(enc_step, cts, **kw)
-    t_dec = profiling.time_chained_dynamic(dec_step, cts, **kw)
+    t_enc = profiling.time_chained_dynamic(enc_step, cts, pk, m_batch, bz,
+                                           **kw)
+    t_dec = profiling.time_chained_dynamic(dec_step, cts, sk, m_batch, bz,
+                                           **kw)
     if min(t_enc, t_dec) <= 0:
         raise RuntimeError("degenerate slope")
     _, b_enc, b_dec = BASELINE_BFV_US[name]
@@ -472,16 +481,20 @@ def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
     ct2 = ctx.encrypt(pk, m, nonce=2)
     jax.block_until_ready(ctx.mul(ct1, ct2, rlk=rlk))  # probe kernels
 
+    # thread the table bundles as runtime buffers: baked-in 32k q+Bsk
+    # tables blow the relay's remote-compile upload limit (HTTP 413)
+    mul_fn, sq_fn, bundles = ctx.mult_program()
+
     @jax.jit
-    def mul_step(c, k):
+    def mul_step(c, k, rl, bz):
         def body(_, cc):
-            return ctx.mul(cc, ct2, rlk=rlk)
+            return mul_fn(cc, ct2, rl, bz)
         return jax.lax.fori_loop(0, k, body, c)
 
     @jax.jit
-    def sq_step(c, k):
+    def sq_step(c, k, rl, bz):
         def body(_, cc):
-            return ctx.square(cc, rlk=rlk)
+            return sq_fn(cc, rl, bz)
         return jax.lax.fori_loop(0, k, body, c)
 
     J = int(os.environ.get("BENCH_MULT_J", "4"))
@@ -489,19 +502,21 @@ def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
     ct2b = jnp.broadcast_to(ct2, (J,) + ct2.shape)
 
     @jax.jit
-    def mul_batch_step(c, k):
+    def mul_batch_step(c, k, rl, bz):
         def body(_, cc):
-            return ctx.mul(cc, ct2b, rlk=rlk)
+            return mul_fn(cc, ct2b, rl, bz)
         return jax.lax.fori_loop(0, k, body, c)
 
     hi = max(16, (1 << 22) // (n * r))
     kw = dict(inner_lo=max(2, hi // 8), inner_hi=hi, reps=3, epochs=3)
-    t_mul = profiling.time_chained_dynamic(mul_step, ct1, **kw)
-    t_sq = profiling.time_chained_dynamic(sq_step, ct1, **kw)
+    t_mul = profiling.time_chained_dynamic(mul_step, ct1, rlk, bundles,
+                                           **kw)
+    t_sq = profiling.time_chained_dynamic(sq_step, ct1, rlk, bundles,
+                                          **kw)
     hij = max(4, hi // J)
     t_mb = profiling.time_chained_dynamic(
-        mul_batch_step, ct1b, inner_lo=max(2, hij // 8), inner_hi=hij,
-        reps=3, epochs=3)
+        mul_batch_step, ct1b, rlk, bundles, inner_lo=max(2, hij // 8),
+        inner_hi=hij, reps=3, epochs=3)
     if min(t_mul, t_sq, t_mb) <= 0:
         raise RuntimeError("degenerate slope")
     row = {
@@ -677,19 +692,25 @@ def main() -> None:
         # prior rounds run last.
         if os.environ.get("BENCH_NTT_ONLY", "") != "1":
             sets = os.environ.get("BENCH_SETS", "")
+            msets = os.environ.get("BENCH_MULT_SETS", "32k_9q,16k_5q")
+            bsets = os.environ.get("BENCH_BATCH_SETS", "32k_9q,16k_5q")
             if sets:
-                names = [s for s in sets.split(",") if s]
+                # restricted run: the named sets, then the (independently
+                # restrictable) mult/batched sections
                 _section("bfv_table7", detail, "bfv_table7",
-                         bench_bfv, names)
+                         bench_bfv, [s for s in sets.split(",") if s])
+                _section("bfv_mult", detail, "bfv_mult",
+                         bench_bfv_mult, [s for s in msets.split(",") if s])
+                _section("bfv_batched", detail, "bfv_batched",
+                         bench_bfv_batched,
+                         [s for s in bsets.split(",") if s])
             else:
                 _section("bfv_table7:32k_9q", detail, "bfv_table7",
                          bench_bfv, ["32k_9q"])
-                msets = os.environ.get("BENCH_MULT_SETS", "32k_9q,16k_5q")
                 _section("bfv_mult", detail, "bfv_mult",
                          bench_bfv_mult, [s for s in msets.split(",") if s])
                 _section("bfv_table7:32k_16q", detail, "bfv_table7",
                          bench_bfv, ["32k_16q"])
-                bsets = os.environ.get("BENCH_BATCH_SETS", "32k_9q,16k_5q")
                 _section("bfv_batched", detail, "bfv_batched",
                          bench_bfv_batched,
                          [s for s in bsets.split(",") if s])

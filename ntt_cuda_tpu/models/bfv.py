@@ -352,6 +352,32 @@ class BFVContext:
                                 f"coefficient, n={p.n}")
         return _add_plain_jit(ct, m_poly, self.msg_consts)
 
+    def negate(self, ct):
+        """Homomorphic negation: decrypts to (-m) mod t.  Component-wise
+        modular negate (the reference's poly_negate semantics,
+        poly_arithmetic.cuh:332-343, with canonical 0 -> 0).  Accepts
+        (2, r-1, n) or (J, 2, r-1, n)."""
+        p = self.params
+        ct = _as_array("ct", ct)
+        base = (2, p.r - 1, p.n)
+        if ct.shape[-3:] != base or ct.ndim not in (3, 4):
+            raise ValueError(f"ct: expected (2, r-1, n) or (J, 2, r-1, n),"
+                             f" got {ct.shape}")
+        ct = check_residues("ct", ct, ct.shape)
+        return _ct_negate_jit(ct, self.ms_drop)
+
+    def sub_plain(self, ct, m_poly):
+        """Ciphertext - plaintext: decrypts to (m_ct - m) mod t.  The
+        exact inverse of add_plain (same Delta-scaled embedding,
+        subtracted from c0; no noise added)."""
+        p = self.params
+        ct = check_residues("ct", ct, (2, p.r - 1, p.n),
+                            "encrypt returns (2, r-1, n)")
+        m_poly = check_residues("m_poly", m_poly, (p.n,),
+                                f"one plaintext value in [0, t) per "
+                                f"coefficient, n={p.n}")
+        return _sub_plain_jit(ct, m_poly, self.msg_consts)
+
     def mul_plain(self, ct, m_poly):
         """Ciphertext * plaintext in R_t = Z_t[x]/(x^n + 1): decrypts to
         the negacyclic product (m_ct * m) mod t.
@@ -409,6 +435,100 @@ class BFVContext:
         if rlk is None:
             return ct3
         return self.relinearize(ct3, rlk)
+
+    def op_programs(self):
+        """(kg_fn, enc_fn, dec_fn, enc_batch_fn, dec_batch_fn, bundles):
+        the scheme ops as pure functions of their array arguments, for
+        embedding inside an OUTER jit (e.g. a benchmark's chained
+        fori_loop) without freezing the NTT table bundles into the
+        compiled module as constants — a 32k module with inlined tables
+        is ~50-170 MB, which costs minutes of remote-compile upload
+        through the TPU relay (and the mul+relin one exceeds its upload
+        limit outright; see mult_program).
+
+        kg_fn(nonce_u64, bz) == keygen(nonce); enc_fn(nonce_u64, pk, m,
+        bz) == encrypt(pk, m, nonce); dec_fn(sk, ct, bz) ==
+        decrypt(sk, ct) for L=2 and a full (r, n) or dropped (r-1, n)
+        sk; *_batch_fn mirror encrypt_batch/decrypt_batch.  No argument
+        validation — callers hold the validated arrays."""
+        p = self.params
+        backend, fusion, us = self.backend, self.fusion, self.uniform_spec
+        bundles = dict(
+            msf=self.ms_full, msd=self.ms_drop, msl=self.ms_last,
+            tf=self.tables_full, ff=self.ftab_full,
+            td=self.tables_drop, fd=self.ftab_drop,
+            dr=self.dr_consts, mg=self.msg_consts, tc=self.tail_consts,
+            dc=self.dec_consts, dtc=self.dec_tail_consts)
+
+        def kg_fn(nonce, bz):
+            return _keygen_jit(nonce, bz["msf"], bz["tf"], bz["ff"],
+                               p.n, p.r, backend, us, fusion)
+
+        def enc_fn(nonce, pk, m_poly, bz):
+            return _encrypt_jit(nonce, pk, m_poly, bz["msf"], bz["msd"],
+                                bz["msl"], bz["tf"], bz["ff"], bz["dr"],
+                                bz["mg"], bz["tc"], p.n, p.r, backend,
+                                fusion)
+
+        def dec_fn(sk, ct, bz):
+            return _decrypt_jit(sk[: p.r - 1], ct, bz["msd"], bz["td"],
+                                bz["fd"], bz["dc"], bz["dtc"], backend,
+                                fusion)
+
+        def enc_batch_fn(nonces, pk, m_batch, bz):
+            return _encrypt_batch_jit(nonces, pk, m_batch, bz["msf"],
+                                      bz["msd"], bz["msl"], bz["tf"],
+                                      bz["ff"], bz["dr"], bz["mg"],
+                                      bz["tc"], p.n, p.r,
+                                      m_batch.shape[0], backend, fusion)
+
+        def dec_batch_fn(sk, cts, bz):
+            return _decrypt_batch_jit(sk[: p.r - 1], cts, bz["msd"],
+                                      bz["td"], bz["fd"], bz["dc"],
+                                      bz["dtc"], backend, fusion)
+
+        return kg_fn, enc_fn, dec_fn, enc_batch_fn, dec_batch_fn, bundles
+
+    def mult_program(self):
+        """(mul_fn, square_fn, bundles) for embedding EvalMult inside an
+        OUTER jit (e.g. a benchmark's chained fori_loop) without baking
+        the table bundles in as module constants.
+
+        Tracing mul() under an outer jit freezes the q-base AND Bsk NTT
+        tables into the compiled module as literals; at n=32768 the
+        result exceeds the TPU relay's remote-compile upload limit
+        (HTTP 413 — why no 32k EvalMult number could ever be captured).
+        The returned functions take the same bundles as runtime buffer
+        arguments instead: mul_fn(a, b, rlk, bundles) ==
+        mul(a, b, rlk=rlk) bit-for-bit, square_fn(a, rlk, bundles) ==
+        square(a, rlk=rlk)."""
+        st = self._mult_setup()
+        backend = self.backend
+        bundles = dict(
+            mc=st.mc, tq=self.tables_drop, fq=self.ftab_drop,
+            tb=st.tables_bsk, fb=st.ftab_bsk, msd=self.ms_drop,
+            msf=self.ms_full, msl=self.ms_last, tf=self.tables_full,
+            ff=self.ftab_full, dr=self.dr_consts)
+
+        def finish(ct3, rlk, bz):
+            if rlk is None:
+                return ct3
+            cc = _keyswitch_jit(ct3[..., 2, :, :], rlk, bz["msf"],
+                                bz["msd"], bz["msl"], bz["tf"], bz["ff"],
+                                bz["dr"], backend)
+            return _ct_add_jit(ct3[..., :2, :, :], cc, bz["msd"])
+
+        def mul_fn(a, b, rlk, bz):
+            ct3 = _mult_jit(a, b, bz["mc"], bz["tq"], bz["fq"], bz["tb"],
+                            bz["fb"], bz["msd"], backend)
+            return finish(ct3, rlk, bz)
+
+        def square_fn(a, rlk, bz):
+            ct3 = _square_jit(a, bz["mc"], bz["tq"], bz["fq"], bz["tb"],
+                              bz["fb"], bz["msd"], backend)
+            return finish(ct3, rlk, bz)
+
+        return mul_fn, square_fn, bundles
 
     def relin_keygen(self, sk, nonce=0):
         """Generate relinearization keys for mul(): (2, r-1, r, n),
@@ -693,6 +813,17 @@ def _ct_sub_jit(a, b, ms):
 @jax.jit
 def _add_plain_jit(ct, m_poly, mc):
     return ct.at[0].set(poly.add_message(ct[0], m_poly, mc))
+
+
+@jax.jit
+def _ct_negate_jit(ct, ms):
+    return modmath.negate_mod(ct, ms.q)
+
+
+@jax.jit
+def _sub_plain_jit(ct, m_poly, mc):
+    return ct.at[..., 0, :, :].set(
+        poly.sub_message(ct[..., 0, :, :], m_poly, mc))
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))

@@ -777,10 +777,14 @@ def encrypt_tail_padded(c, e, ra_ready, m_poly, consts: TailConsts,
     return limb32.from_pair((ol, oh)).reshape(2, rl, n)
 
 
-def build_dec_tail_consts_padded(params, lo: int, hi: int) -> DecTailConsts:
+def build_dec_tail_consts_padded(params, lo: int, hi: int,
+                                 pad_to: int | None = None) -> DecTailConsts:
     """DecTailConsts rows for moduli [lo, hi) with the dropped (global
     last) modulus's BEHZ matrix rows zeroed, so its partials vanish from
-    the cross-shard sums."""
+    the cross-shard sums.  pad_to > hi-lo appends fully-zeroed rows
+    (q=1 to keep the per-row modular ops well-defined) — used by the
+    level-aware SPMD decrypt, whose mod-switched ciphertexts keep the
+    original padded width while the live modulus chain shrinks."""
     g = params.gamma
     bcm_t, bcm_g = params.base_change_matrix
     neg_t, neg_g = params.neg_inv_q_mod_t_gamma
@@ -794,6 +798,9 @@ def build_dec_tail_consts_padded(params, lo: int, hi: int) -> DecTailConsts:
             + _limbs(hm.to_mont(params.inv_punctured_q[i], q) if kept else 0)
             + _limbs(bcm_t[i] if kept else 0)
             + _limbs(hm.to_mont(bcm_g[i], g) if kept else 0))
+    for _ in range(len(rows), (pad_to or 0) - lo):
+        rows.append(_limbs(1) + _limbs(hm.mont_qinv_neg(1))
+                    + _limbs(0) + _limbs(0) + _limbs(0) + _limbs(0))
     glob = (_limbs(g) + _limbs(hm.mont_qinv_neg(g))
             + _limbs(params.gamma_div_2) + _limbs(hm.to_mont(neg_g, g)))
     return DecTailConsts(

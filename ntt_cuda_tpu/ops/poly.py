@@ -167,6 +167,16 @@ def add_message(c0, m_poly, mc: MessageConsts):
     return modmath.mod_u64(v, mc.q, mc.nu)
 
 
+def sub_message(c0, m_poly, mc: MessageConsts):
+    """c0_i -= Delta_i * m + fix, mod q_i — the exact inverse of
+    add_message (SEAL's sub_plain; no reference counterpart)."""
+    t = mc.t
+    m = m_poly.astype(U64)
+    fix = (m + U64((t + 1) >> 1)) // U64(t)
+    d = modmath.mod_u64(m * mc.qi_div_t + fix, mc.q, mc.nu)
+    return modmath.sub_mod(c0, d, mc.q)
+
+
 # ---------------------------------------------------------------------------
 # BEHZ fast base conversion {q_i} -> {t, gamma} + decryption rounding.
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ GSPMD path may only replicate a Mosaic custom call.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -53,9 +54,11 @@ class SpmdBFVContext:
     @staticmethod
     def build(params: BFVParams, devices=None,
               interpret: bool | None = None) -> "SpmdBFVContext":
-        if params.t & (params.t - 1):
-            raise ValueError("SPMD pipelines run the fused pallas tails, "
-                             "which assume a power-of-two t")
+        if params.t & (params.t - 1) and (params.t % 2 == 0
+                                          or params.t >= (1 << 31)):
+            raise ValueError("SPMD pipelines run the fused pallas tails: "
+                             "t must be a power of two or an odd "
+                             "batching prime < 2^31")
         if devices is None:
             devices = jax.devices()
         mesh = Mesh(np.array(devices), ("rns",))
@@ -242,26 +245,43 @@ class SpmdBFVContext:
         ct_b = check_residues(f"{op} rhs", ct_b, (2, p.r, p.n))
         return fn(ct_a, ct_b, self.ms)
 
-    def decrypt(self, sk, ct):
+    def decrypt(self, sk, ct, level: int = 0):
         """sk (r, n) NTT-domain, ct (2, r, n) padded -> (n,) plaintext,
-        replicated.  One psum of the BEHZ partials."""
+        replicated.  One psum of the BEHZ partials.
+
+        level > 0 decrypts a mod-switched ciphertext (mod_switch_to_next
+        applied `level` times): the padded width stays r, but the BEHZ
+        conversion runs over the level's live chain q[:r-level] with all
+        other rows' contributions zeroed."""
         from ..models.bfv import check_residues
         p = self.params
         sk = check_residues("sk", sk, (p.r, p.n))
         ct = check_residues("ct", ct, (2, p.r, p.n),
                             "SPMD ciphertexts use the padded (2, r, n) "
                             "reference layout")
-        fn, args = self._decrypt_program(sk, ct)
+        fn, args = self._decrypt_program(sk, ct, level)
         return fn(*args)
 
-    def lowered_decrypt(self, sk, ct):
-        fn, args = self._decrypt_program(sk, ct)
+    def lowered_decrypt(self, sk, ct, level: int = 0):
+        fn, args = self._decrypt_program(sk, ct, level)
         return fn.lower(*args)
 
-    def _decrypt_program(self, sk, ct):
+    def _dec_consts_level(self, level: int):
+        """Padded DecTailConsts for the level's live chain (cached on
+        the frozen context via the dec_consts object's identity —
+        rebuilt per call is host-side numpy, negligible)."""
+        if level == 0:
+            return self.dec_consts
+        cp = _chain_params(self.params, level)
+        return bfv_tail.build_dec_tail_consts_padded(
+            cp, 0, cp.r, pad_to=self.params.r)
+
+    def _decrypt_program(self, sk, ct, level: int = 0):
         p = self.params
+        lp = _chain_params(p, level)
         interp = self.interpret
         ms_spec, ftab_spec, _, dec_spec = self._specs()
+        dec_consts = self._dec_consts_level(level)
 
         def dec(skk, ctt, ms, ftab, dc):
             x = fused_ops.half_polymul(ctt[1], skk, ftab,
@@ -269,15 +289,110 @@ class SpmdBFVContext:
             xt, xg = bfv_tail.decrypt_tail_partial(x, ctt[0], dc,
                                                    interpret=interp)
             # split-halves psum: overflow-safe for any rns shard count
-            xt, xg = bfv_tail.psum_behz_partials(xt, xg, "rns", p)
-            return bfv_tail.dec_round_from_sums(xt, xg, p)
+            xt, xg = bfv_tail.psum_behz_partials(xt, xg, "rns", lp)
+            return bfv_tail.dec_round_from_sums(xt, xg, lp)
 
         fn = shard_map(dec, mesh=self.mesh,
                        in_specs=(P("rns", None), P(None, "rns", None),
                                  ms_spec, ftab_spec, dec_spec),
                        out_specs=P(),
                        check_vma=False)
-        return jax.jit(fn), (sk, ct, self.ms, self.ftab, self.dec_consts)
+        return jax.jit(fn), (sk, ct, self.ms, self.ftab, dec_consts)
+
+    # -- modulus switching (level-aware, shard-geometry preserving) --------
+
+    def mod_switch_to_next(self, ct, level: int = 0):
+        """SEAL's mod_switch_to_next over the 'rns' mesh: every
+        component of a padded (L, r, n) ciphertext at `level` is
+        divided-and-rounded by the level's last live modulus
+        q[r-1-level].  The padded width — and with it the shard
+        geometry — is PRESERVED: the live width shrinks from r-level to
+        r-level-1 and one more row becomes padding (the TPU-native
+        answer to "mod_switch changes r": static shapes, static mesh;
+        garbage rows cost compute, not communication).  One psum
+        broadcasts the adjusted dropped residue (the same collective as
+        encryption's modulus drop).  Decrypt with
+        decrypt(..., level=level+1); bit-identical on live rows to the
+        single-chip BFVContext.mod_switch_to_next chain."""
+        from ..models.bfv import check_residues
+        p = self.params
+        live = p.r - 1 - level              # live ciphertext residues
+        if live < 3:
+            raise ValueError("modulus chain exhausted: need >= 3 live "
+                             f"ciphertext moduli, have {live}")
+        ct = check_residues("ct", ct, (ct.shape[0], p.r, p.n),
+                            "SPMD ciphertexts use the padded (L, r, n) "
+                            "reference layout")
+        fn, args = self._mod_switch_program(ct, level)
+        return fn(*args)
+
+    def lowered_mod_switch(self, ct, level: int = 0):
+        fn, args = self._mod_switch_program(ct, level)
+        return fn.lower(*args)
+
+    def _mod_switch_program(self, ct, level: int):
+        p = self.params
+        R = self.mesh.shape["rns"]
+        rl = p.r // R
+        last = p.r - 2 - level              # global row being dropped
+        ms_spec, _, _, _ = self._specs()
+        half_mod, invq_mont, qlast, half = _mod_switch_consts_padded(
+            p, level)
+
+        def msw(ctt, ms, hmod, invq):
+            idx = jax.lax.axis_index("rns")
+            gidx = idx * rl + jnp.arange(rl)
+            own = (gidx == last)[:, None]
+            ra = jnp.sum(jnp.where(own, ctt, U64(0)), axis=-2)  # (L, n)
+            ra = jax.lax.psum(ra, "rns")
+            ra = ra + U64(half)
+            ra = ra - U64(qlast) * (ra >= U64(qlast)).astype(U64)
+            tmp = modmath.mod_u64(ra[:, None, :], ms.q, ms.nu)
+            tmp = tmp + ms.q * (tmp < hmod).astype(U64) - hmod
+            v = ctt + ms.q * (ctt < tmp).astype(U64) - tmp
+            return modmath.mont_mul(v, invq, ms.q, ms.qinv_neg)
+
+        fn = shard_map(msw, mesh=self.mesh,
+                       in_specs=(P(None, "rns", None), ms_spec,
+                                 P("rns", None), P("rns", None)),
+                       out_specs=P(None, "rns", None),
+                       check_vma=False)
+        return jax.jit(fn), (ct, self.ms, half_mod, invq_mont)
+
+
+@functools.lru_cache(maxsize=None)
+def _chain_params(params: BFVParams, level: int) -> BFVParams:
+    """The params `level` steps down the modulus chain (cf.
+    models.bfv.BFVContext.next_context)."""
+    if level == 0:
+        return params
+    w = params.r - level
+    if w < 2:
+        raise ValueError(f"level {level} exhausts the {params.r}-modulus "
+                         "chain")
+    return BFVParams(name=f"{params.name}@L{w}", n=params.n,
+                     q=params.q[:w], psi=params.psi[:w],
+                     t=params.t, gamma=params.gamma)
+
+
+@functools.lru_cache(maxsize=None)
+def _mod_switch_consts_padded(params: BFVParams, level: int):
+    """Per-level modulus-drop constants padded to r rows: (half_mod
+    (r, 1), inv_qlast_mont (r, 1), q_last, half).  Rows at or beyond
+    the dropped index get identity roles (their outputs are padding)."""
+    from ..utils import hostmath as hm
+    # padded row r-1 is the never-dropped special slot; the level's
+    # last LIVE ciphertext residue is row r-2-level
+    last = params.r - 2 - level
+    qlast = params.q[last]
+    half = qlast >> 1
+    hmod, invq = [], []
+    for i, q in enumerate(params.q):
+        live = i < last
+        hmod.append(half % q if live else 0)
+        invq.append(hm.to_mont(pow(qlast, -1, q) if live else 1, q))
+    col = lambda v: jnp.asarray(np.array(v, dtype=np.uint64).reshape(-1, 1))
+    return col(hmod), col(invq), qlast, half
 
 
 @jax.jit

@@ -51,22 +51,26 @@ def time_chained(make_step, x, inner_lo: int = 4, inner_hi: int = 16,
     return max((t_hi - t_lo) / (inner_hi - inner_lo), 0.0)
 
 
-def time_chained_dynamic(step, x, inner_lo: int = 4, inner_hi: int = 16,
-                         reps: int = 3, epochs: int = 3) -> float:
-    """Like time_chained, but `step(x, inner)` takes the chain length as a
-    TRACED scalar (lax.fori_loop with a dynamic trip count), so ONE
-    compilation covers both inner counts — first TPU compiles cost
-    20-170 s through the relay tunnel, and the dynamic bound costs
-    nothing (fori_loop lowers to a while either way).
+def time_chained_dynamic(step, x, *extra, inner_lo: int = 4,
+                         inner_hi: int = 16, reps: int = 3,
+                         epochs: int = 3) -> float:
+    """Like time_chained, but `step(x, inner, *extra)` takes the chain
+    length as a TRACED scalar (lax.fori_loop with a dynamic trip count),
+    so ONE compilation covers both inner counts — first TPU compiles
+    cost 20-170 s through the relay tunnel, and the dynamic bound costs
+    nothing (fori_loop lowers to a while either way).  `extra` pytrees
+    are threaded as runtime buffer arguments (loop-invariant bundles:
+    keeps big tables OUT of the compiled module's constants, which
+    matters through the relay's upload limit).
 
     Returns the min-over-epochs slope (the relay adds heavy-tailed
     positive noise, so min is the right estimator)."""
     def timed(k):
-        out = step(x, k)
+        out = step(x, k, *extra)
         _sync(out)                       # compile (first epoch) + warm
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = step(x, k)
+            out = step(x, k, *extra)
         _sync(out)
         return (time.perf_counter() - t0) / reps
 

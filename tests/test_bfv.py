@@ -320,3 +320,17 @@ def test_plaintext_add_mul(ctx4k, rng):
     np.testing.assert_array_equal(got_c, (m1 * 7) % p.t)
     with pytest.raises(ValueError, match="expected shape"):
         ctx4k.mul_plain(ct, jnp.asarray(mono[:8]))
+    # sub_plain: exact inverse of add_plain, and (m1 - m2) mod t
+    np.testing.assert_array_equal(
+        np.asarray(ctx4k.sub_plain(ctx4k.add_plain(ct, jnp.asarray(m2)),
+                                   jnp.asarray(m2))),
+        np.asarray(ct))
+    np.testing.assert_array_equal(
+        np.asarray(ctx4k.decrypt(sk, ctx4k.sub_plain(ct, jnp.asarray(m2)))),
+        (m1 - m2) % p.t)
+    # negate: decrypts to (-m) mod t; double negation is the identity
+    np.testing.assert_array_equal(
+        np.asarray(ctx4k.decrypt(sk, ctx4k.negate(ct))),
+        (p.t - m1) % p.t)
+    np.testing.assert_array_equal(
+        np.asarray(ctx4k.negate(ctx4k.negate(ct))), np.asarray(ct))
