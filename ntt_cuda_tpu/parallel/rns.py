@@ -140,3 +140,28 @@ class ShardedBFVContext:
         return self.inner.decrypt(
             jax.device_put(sk, self.key_sharding())[: self.inner.params.r - 1],
             jax.device_put(ct, self.ct_sharding()))
+
+    def add(self, ct_a, ct_b):
+        """EvalAdd under GSPMD: elementwise over P(None, 'rns', None)
+        shards, zero collectives."""
+        put = lambda c: jax.device_put(c, self.ct_sharding())
+        return self.inner.add(put(ct_a), put(ct_b))
+
+    def sub(self, ct_a, ct_b):
+        put = lambda c: jax.device_put(c, self.ct_sharding())
+        return self.inner.sub(put(ct_a), put(ct_b))
+
+    def galois_keygen(self, sk, elts, nonce=0):
+        """Galois switching keys under GSPMD, each sharded like rlk."""
+        keys = self.inner.galois_keygen(
+            jax.device_put(sk, self.key_sharding()), elts, nonce=nonce)
+        return {g: jax.device_put(k, self.rlk_sharding())
+                for g, k in keys.items()}
+
+    def apply_galois(self, ct, g, gk):
+        """Homomorphic automorphism under GSPMD: the coefficient gather
+        is row-local (the permutation acts on the replicated axis), the
+        key switch reshards like mul's."""
+        return self.inner.apply_galois(
+            jax.device_put(ct, self.ct_sharding()), g,
+            jax.device_put(gk, self.rlk_sharding()))
