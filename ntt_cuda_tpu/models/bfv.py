@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import params as params_mod
-from ..ops import behz, bfv_tail, fused_ops, modmath, ntt, ntt_pallas, \
-    poly, sampling
+from ..ops import behz, behz_pallas, bfv_tail, fused_ops, modmath, ntt, \
+    ntt_pallas, poly, sampling
 from ..utils import hostmath as hm
 
 U64 = jnp.uint64
@@ -97,6 +97,25 @@ def _inv_mul(x, y, tables, ftab, ms, backend: str):
         return ntt.ntt_inverse(ntt.dyadic_mul(x, y, ms), tables, ms)
     return ntt_pallas.ntt_inverse_mul(
         x, y, ftab, interpret=(backend == "pallas-interpret"))
+
+
+def _r2b(x, mc, mpc, backend: str):
+    """BEHZ q -> Bsk extension: single-pass Pallas kernel on the pallas
+    backends (ops/behz_pallas.py — the XLA chain round-trips O(k^2)
+    intermediates through HBM and measured ~half of EvalMult)."""
+    if backend == "xla":
+        return behz.rns_to_bsk(x, mc)
+    return behz_pallas.rns_to_bsk(
+        x, mpc, interpret=(backend == "pallas-interpret"))
+
+
+def _snr(xq, xbsk, mc, mpc, backend: str):
+    """BEHZ scale-and-round (fast_floor + bsk_to_q), kernelized like
+    _r2b."""
+    if backend == "xla":
+        return behz.scale_and_round(xq, xbsk, mc)
+    return behz_pallas.scale_and_round(
+        xq, xbsk, mpc, interpret=(backend == "pallas-interpret"))
 
 
 def _fwd_addneg(x, e, tables, ftab, ms, backend: str):
@@ -416,9 +435,9 @@ class BFVContext:
         given.  decrypt() accepts both forms."""
         a, b = self._ct_pair("mul", ct_a, ct_b)
         st = self._mult_setup()
-        ct3 = _mult_jit(a, b, st.mc, self.tables_drop, self.ftab_drop,
-                        st.tables_bsk, st.ftab_bsk, self.ms_drop,
-                        self.backend)
+        ct3 = _mult_jit(a, b, st.mc, st.mpc, self.tables_drop,
+                        self.ftab_drop, st.tables_bsk, st.ftab_bsk,
+                        self.ms_drop, self.backend)
         if rlk is None:
             return ct3
         return self.relinearize(ct3, rlk)
@@ -429,9 +448,9 @@ class BFVContext:
         cross term is 2*a0*a1).  Bit-identical to mul(ct, ct)."""
         a, _ = self._ct_pair("square", ct, ct)
         st = self._mult_setup()
-        ct3 = _square_jit(a, st.mc, self.tables_drop, self.ftab_drop,
-                          st.tables_bsk, st.ftab_bsk, self.ms_drop,
-                          self.backend)
+        ct3 = _square_jit(a, st.mc, st.mpc, self.tables_drop,
+                          self.ftab_drop, st.tables_bsk, st.ftab_bsk,
+                          self.ms_drop, self.backend)
         if rlk is None:
             return ct3
         return self.relinearize(ct3, rlk)
@@ -505,7 +524,7 @@ class BFVContext:
         st = self._mult_setup()
         backend = self.backend
         bundles = dict(
-            mc=st.mc, tq=self.tables_drop, fq=self.ftab_drop,
+            mc=st.mc, mpc=st.mpc, tq=self.tables_drop, fq=self.ftab_drop,
             tb=st.tables_bsk, fb=st.ftab_bsk, msd=self.ms_drop,
             msf=self.ms_full, msl=self.ms_last, tf=self.tables_full,
             ff=self.ftab_full, dr=self.dr_consts)
@@ -519,13 +538,13 @@ class BFVContext:
             return _ct_add_jit(ct3[..., :2, :, :], cc, bz["msd"])
 
         def mul_fn(a, b, rlk, bz):
-            ct3 = _mult_jit(a, b, bz["mc"], bz["tq"], bz["fq"], bz["tb"],
-                            bz["fb"], bz["msd"], backend)
+            ct3 = _mult_jit(a, b, bz["mc"], bz["mpc"], bz["tq"], bz["fq"],
+                            bz["tb"], bz["fb"], bz["msd"], backend)
             return finish(ct3, rlk, bz)
 
         def square_fn(a, rlk, bz):
-            ct3 = _square_jit(a, bz["mc"], bz["tq"], bz["fq"], bz["tb"],
-                              bz["fb"], bz["msd"], backend)
+            ct3 = _square_jit(a, bz["mc"], bz["mpc"], bz["tq"], bz["fq"],
+                              bz["tb"], bz["fb"], bz["msd"], backend)
             return finish(ct3, rlk, bz)
 
         return mul_fn, square_fn, bundles
@@ -753,6 +772,8 @@ class BFVContext:
             use_pallas = self.backend != "xla"
             st = _MultSetup(
                 mc=mc,
+                mpc=(behz_pallas.MultPallasConsts.build(p, aux)
+                     if use_pallas else None),
                 tables_bsk=ntt.NTTTables.build(aux.bsk, aux.bsk_psi, p.n),
                 ftab_bsk=(ntt_pallas.FourStepTables.build(
                     aux.bsk, aux.bsk_psi, p.n) if use_pallas else None),
@@ -940,13 +961,14 @@ class _MultSetup:
     BEHZ constants, NTT tables over the auxiliary base, and the
     key-switching scalar bank."""
     mc: behz.MultConsts
+    mpc: object                        # behz_pallas.MultPallasConsts | None
     tables_bsk: ntt.NTTTables
     ftab_bsk: object                   # FourStepTables | None
     p_mont: jax.Array                  # (r-1, 1) q_last * R mod q_j
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))
-def _mult_jit(a, b, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
+def _mult_jit(a, b, mc, mpc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
               backend: str):
     """BEHZ EvalMult core: (…, 2, k, n) x2 -> (…, 3, k, n).
 
@@ -954,8 +976,8 @@ def _mult_jit(a, b, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
     round(t/q * .) back into base q (behz.scale_and_round).  The base-q
     half multiplies the ORIGINAL residues (they are congruent mod q to
     the centered lifts Bsk sees — standard BEHZ)."""
-    ab = behz.rns_to_bsk(a, mc)                      # (…, 2, k+1, n)
-    bb = behz.rns_to_bsk(b, mc)
+    ab = _r2b(a, mc, mpc, backend)                   # (…, 2, k+1, n)
+    bb = _r2b(b, mc, mpc, backend)
     # both operands' forwards in ONE kernel sweep per base (modulus-major
     # grid: each modulus's twiddles fetched once for all four polys)
     fq = _fwd(jnp.stack([a, b], axis=-4), tables_q, ftab_q, ms_q, backend)
@@ -978,17 +1000,17 @@ def _mult_jit(a, b, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
 
     pq = tensor(fq, tables_q, ftab_q, ms_q)
     pb = tensor(fb_, tables_bsk, ftab_bsk, mc.ms_bsk)
-    return behz.scale_and_round(pq, pb, mc)
+    return _snr(pq, pb, mc, mpc, backend)
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))
-def _square_jit(a, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
+def _square_jit(a, mc, mpc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
                 backend: str):
     """EvalSquare: _mult_jit with one operand — half the forwards, and
     the cross term computed once and doubled (bit-identical to
     _mult_jit(a, a, ...) since the dyadic product is exact and
     commutative)."""
-    ab = behz.rns_to_bsk(a, mc)
+    ab = _r2b(a, mc, mpc, backend)
     fa_q = _fwd(a, tables_q, ftab_q, ms_q, backend)
     fa_b = _fwd(ab, tables_bsk, ftab_bsk, mc.ms_bsk, backend)
 
@@ -1002,7 +1024,7 @@ def _square_jit(a, mc, tables_q, ftab_q, tables_bsk, ftab_bsk, ms_q,
 
     pq = tensor(fa_q, tables_q, ftab_q, ms_q)
     pb = tensor(fa_b, tables_bsk, ftab_bsk, mc.ms_bsk)
-    return behz.scale_and_round(pq, pb, mc)
+    return _snr(pq, pb, mc, mpc, backend)
 
 
 def _kskeygen_body(a, e, sk, target_hat, ms, tables, ftab, p_mont,

@@ -1,0 +1,381 @@
+"""Pallas fast-base-conversion kernels for the BEHZ EvalMult pipeline.
+
+Round-4 TPU profiling (scratch/mult_profile_16k.log) showed the XLA
+conversion chains costing ~half of EvalMult (rns_to_bsk 184 us per
+ciphertext, scale_and_round 605 us for 3 components at 16k_5q; 32k mul
+9.6 ms against a ~1.2 ms transform bound): every mont_mul in the
+ops/behz.py chains round-trips a (k, n) u64 intermediate through HBM,
+and the k x (k+1) base-change inner products multiply that by the
+matrix size.
+
+These kernels run each conversion as ONE VMEM-resident pass, the same
+design as the fused decrypt tail (ops/bfv_tail.py): grid over (component,
+target modulus), all k source planes resident per step, the shared
+prescaled operand (x * inv_punctured etc.) computed once per component
+into VMEM scratch at the first target step, and the per-target inner
+product + finish accumulated without touching HBM.  Traffic drops from
+O(k^2) tensors to exactly read-(k,n) + write-(k_t,n).
+
+Bit-identical to ops/behz.py rns_to_bsk / fast_floor / bsk_to_q (same
+exact modular arithmetic, canonical [0, q) values at every interface;
+tested in tests/test_behz_pallas.py).  Generalizes the reference's
+decrypt-side fast_convert_array (poly_arithmetic.cuh:217-251) exactly
+as ops/behz.py does — see that module for the algorithm citations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import hostmath as hm
+from . import behz, limb32
+
+U32 = jnp.uint32
+N2 = 128
+M_TILDE = behz.M_TILDE           # 2^32: the m_tilde channel is masks
+
+
+def _limbs(v: int) -> tuple[int, int]:
+    return v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF
+
+
+def _mont_exact(a, b, q, qinv):
+    return limb32.reduce_once(limb32.mont_mul_lazy(a, b, q, qinv), q)
+
+
+def _sub_mod(a, b, q):
+    """(a - b) mod q for canonical a, b < q (limb pairs)."""
+    zero = (jnp.zeros_like(q[0]), jnp.zeros_like(q[1]))
+    v = limb32.add64(a, limb32.select64(limb32.lt64(a, b), q, zero))
+    return limb32.sub64(v, b)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qsrc", "qpre", "tgt", "amat", "bsrc", "bmat", "bfin",
+                 "glob"],
+    meta_fields=["k"],
+)
+@dataclasses.dataclass(frozen=True)
+class MultPallasConsts:
+    """u32 limb-pair constant banks for the three conversion kernels
+    (the Pallas packing of ops/behz.MultConsts)."""
+
+    qsrc: jax.Array   # (k, 4): q_j, qinv_j
+    qpre: jax.Array   # (k, 8): mt_mont, invp_q, t_mont_q pairs; bcm_q_mt lo; pad
+    tgt: jax.Array    # (k+1, 12): qb, qbinv, prodq_mont, inv_mt_mont,
+    #                   t_mont_bsk, inv_prodq_mont pairs
+    amat: jax.Array   # (k+1, k, 2): bcm_q_bsk mont pairs
+    bsrc: jax.Array   # (k, 8): b_j, binv_j, invp_b, bcm_b_msk_mont pairs
+    bmat: jax.Array   # (k, k, 2): bcm_b_q mont pairs ([target q_i][source b_j])
+    bfin: jax.Array   # (k, 2): prodb_mont_q pair
+    glob: jax.Array   # (10,): msk, msk_qinv, msk_half, inv_prodb_mont
+    #                   pairs; neg_inv_q_mt lo; pad
+    k: int
+
+    @staticmethod
+    def build(params, aux: behz.AuxBase | None = None) -> "MultPallasConsts":
+        aux = aux or behz.AuxBase.build(params)
+        k = params.r - 1
+        qs = params.q[:-1]
+        bsk = aux.bsk
+        msk = aux.m_sk
+        mt = aux.m_tilde
+        q_prod = 1
+        for qi in qs:
+            q_prod *= qi
+        b_prod = 1
+        for bi in aux.b:
+            b_prod *= bi
+        punct_q = [q_prod // qj for qj in qs]
+        punct_b = [b_prod // bj for bj in aux.b]
+
+        u32 = lambda rows: jnp.asarray(np.array(rows, dtype=np.uint32))
+        qsrc = u32([_limbs(q) + _limbs(hm.mont_qinv_neg(q)) for q in qs])
+        qpre = u32([_limbs(hm.to_mont(mt % qj, qj))
+                    + _limbs(hm.to_mont(hm.modinv(pj % qj, qj), qj))
+                    + _limbs(hm.to_mont(params.t % qj, qj))
+                    + (pj % mt, 0)
+                    for pj, qj in zip(punct_q, qs)])
+        tgt = u32([_limbs(m) + _limbs(hm.mont_qinv_neg(m))
+                   + _limbs(hm.to_mont(q_prod % m, m))
+                   + _limbs(hm.to_mont(hm.modinv(mt % m, m), m))
+                   + _limbs(hm.to_mont(params.t % m, m))
+                   + _limbs(hm.to_mont(hm.modinv(q_prod % m, m), m))
+                   for m in bsk])
+        amat = u32([[_limbs(hm.to_mont(pj % m, m)) for pj in punct_q]
+                    for m in bsk])
+        bsrc = u32([_limbs(bj) + _limbs(hm.mont_qinv_neg(bj))
+                    + _limbs(hm.to_mont(hm.modinv(pj % bj, bj), bj))
+                    + _limbs(hm.to_mont(pj % msk, msk))
+                    for pj, bj in zip(punct_b, aux.b)])
+        bmat = u32([[_limbs(hm.to_mont(pj % qi, qi)) for pj in punct_b]
+                    for qi in qs])
+        bfin = u32([_limbs(hm.to_mont(b_prod % qi, qi)) for qi in qs])
+        glob = u32(_limbs(msk) + _limbs(hm.mont_qinv_neg(msk))
+                   + _limbs(msk >> 1)
+                   + _limbs(hm.to_mont(hm.modinv(b_prod % msk, msk), msk))
+                   + ((-pow(q_prod, -1, mt)) % mt, 0))
+        return MultPallasConsts(qsrc=qsrc, qpre=qpre, tgt=tgt, amat=amat,
+                                bsrc=bsrc, bmat=bmat, bfin=bfin, glob=glob,
+                                k=k)
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: rns_to_bsk — q -> Bsk ∪ {m_tilde} extension + sm_mrq.
+# ---------------------------------------------------------------------------
+
+def _make_rns_to_bsk_kernel(k: int, n1: int, interpret: bool):
+    def kernel(qsrc, qpre, tgt, amat, glob,
+               xl_ref, xh_ref, ol_ref, oh_ref, zl, zh, rp):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _prescale():
+            ymt = jnp.zeros((n1, N2), U32)
+            for j in range(k):
+                q = (qsrc[j, 0], qsrc[j, 1])
+                qinv = (qsrc[j, 2], qsrc[j, 3])
+                mtm = (qpre[j, 0], qpre[j, 1])
+                invp = (qpre[j, 2], qpre[j, 3])
+                x = (xl_ref[0, j], xh_ref[0, j])
+                z = _mont_exact(x, mtm, q, qinv)       # x * m_tilde mod q
+                zp = _mont_exact(z, invp, q, qinv)     # * (q/q_j)^-1
+                zl[j] = zp[0]
+                zh[j] = zp[1]
+                # m_tilde channel wraps mod 2^32: low limbs only
+                ymt = ymt + zp[0] * qpre[j, 6]
+            # r = -Y/q mod m_tilde (mask arithmetic)
+            rp[...] = ymt * glob[8]
+
+        qb = (tgt[t, 0], tgt[t, 1])
+        qbinv = (tgt[t, 2], tgt[t, 3])
+        acc = None
+        for j in range(k):
+            term = _mont_exact((zl[j], zh[j]), (amat[t, j, 0], amat[t, j, 1]),
+                               qb, qbinv)
+            acc = term if acc is None else \
+                limb32.reduce_once(limb32.add64(acc, term), qb)
+        # sm_mrq: centered r lift, + r*q, / m_tilde
+        r = rp[...]
+        big = r >= U32(1 << 31)
+        # temp = r + (qb - 2^32) when centered-negative else r
+        qm = limb32.sub64(qb, (jnp.zeros_like(r), jnp.ones_like(r)))
+        shifted = limb32.add64(qm, (r, jnp.zeros_like(r)))
+        temp = (jnp.where(big, shifted[0], r),
+                jnp.where(big, shifted[1], jnp.zeros_like(r)))
+        corr = _mont_exact(temp, (tgt[t, 4], tgt[t, 5]), qb, qbinv)
+        s = limb32.reduce_once(limb32.add64(acc, corr), qb)
+        out = _mont_exact(s, (tgt[t, 6], tgt[t, 7]), qb, qbinv)
+        ol_ref[0, 0] = out[0]
+        oh_ref[0, 0] = out[1]
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: fast_floor — floor(t * x / q) in Bsk.
+# ---------------------------------------------------------------------------
+
+def _make_fast_floor_kernel(k: int, n1: int, interpret: bool):
+    def kernel(qsrc, qpre, tgt, amat,
+               xql_ref, xqh_ref, xbl_ref, xbh_ref, ol_ref, oh_ref, zl, zh):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _prescale():
+            for j in range(k):
+                q = (qsrc[j, 0], qsrc[j, 1])
+                qinv = (qsrc[j, 2], qsrc[j, 3])
+                tm = (qpre[j, 4], qpre[j, 5])
+                invp = (qpre[j, 2], qpre[j, 3])
+                x = (xql_ref[0, j], xqh_ref[0, j])
+                y = _mont_exact(x, tm, q, qinv)        # * t mod q_j
+                zp = _mont_exact(y, invp, q, qinv)
+                zl[j] = zp[0]
+                zh[j] = zp[1]
+
+        qb = (tgt[t, 0], tgt[t, 1])
+        qbinv = (tgt[t, 2], tgt[t, 3])
+        yb = _mont_exact((xbl_ref[0, 0], xbh_ref[0, 0]),
+                         (tgt[t, 8], tgt[t, 9]), qb, qbinv)   # * t mod m
+        acc = None
+        for j in range(k):
+            term = _mont_exact((zl[j], zh[j]), (amat[t, j, 0], amat[t, j, 1]),
+                               qb, qbinv)
+            acc = term if acc is None else \
+                limb32.reduce_once(limb32.add64(acc, term), qb)
+        diff = _sub_mod(yb, acc, qb)
+        out = _mont_exact(diff, (tgt[t, 10], tgt[t, 11]), qb, qbinv)
+        ol_ref[0, 0] = out[0]
+        oh_ref[0, 0] = out[1]
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Kernel C: bsk_to_q — Shenoy-Kumaresan exact conversion back to q.
+# ---------------------------------------------------------------------------
+
+def _make_bsk_to_q_kernel(k: int, n1: int, interpret: bool):
+    def kernel(qsrc, bsrc, bmat, bfin, glob,
+               xl_ref, xh_ref, ol_ref, oh_ref, xpl, xph, negp, magl, magh):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _prescale():
+            msk = (glob[0], glob[1])
+            mskinv = (glob[2], glob[3])
+            cm = None
+            for j in range(k):
+                b = (bsrc[j, 0], bsrc[j, 1])
+                binv = (bsrc[j, 2], bsrc[j, 3])
+                invp = (bsrc[j, 4], bsrc[j, 5])
+                x = (xl_ref[0, j], xh_ref[0, j])
+                xp = _mont_exact(x, invp, b, binv)
+                xpl[j] = xp[0]
+                xph[j] = xp[1]
+                term = _mont_exact(xp, (bsrc[j, 6], bsrc[j, 7]),
+                                   msk, mskinv)
+                cm = term if cm is None else \
+                    limb32.reduce_once(limb32.add64(cm, term), msk)
+            xm = (xl_ref[0, k], xh_ref[0, k])
+            alpha = _mont_exact(_sub_mod(cm, xm, msk),
+                                (glob[6], glob[7]), msk, mskinv)
+            neg = limb32.gt64(alpha, (glob[4], glob[5]))   # strict >
+            negp[...] = neg.astype(U32)
+            mag = limb32.select64(neg, limb32.sub64(msk, alpha), alpha)
+            magl[...] = mag[0]
+            magh[...] = mag[1]
+
+        q = (qsrc[t, 0], qsrc[t, 1])
+        qinv = (qsrc[t, 2], qsrc[t, 3])
+        acc = None
+        for j in range(k):
+            term = _mont_exact((xpl[j], xph[j]), (bmat[t, j, 0], bmat[t, j, 1]),
+                               q, qinv)
+            acc = term if acc is None else \
+                limb32.reduce_once(limb32.add64(acc, term), q)
+        corr = _mont_exact((magl[...], magh[...]), (bfin[t, 0], bfin[t, 1]),
+                           q, qinv)
+        neg = negp[...] != U32(0)
+        plus = limb32.reduce_once(limb32.add64(acc, corr), q)
+        minus = _sub_mod(acc, corr, q)
+        out = limb32.select64(neg, plus, minus)
+        ol_ref[0, 0] = out[0]
+        oh_ref[0, 0] = out[1]
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Wrappers.
+# ---------------------------------------------------------------------------
+
+def _vm_kwargs(interpret):
+    if interpret:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
+
+
+def _run(kernel, consts_ops, x_pairs, extra_pairs, C, k_src, k_tgt, n1,
+         n_scratch_rows, extra_scratch, interpret):
+    """Shared pallas_call plumbing: x (C, k_src) source planes resident
+    per step, optional per-target extra input, (C, k_tgt) output."""
+    z = np.int32(0)
+    src_map = lambda c, t, *refs: (c, z, z, z)
+    tgt_map = lambda c, t, *refs: (c, t, z, z)
+    bs_src = pl.BlockSpec((1, k_src, n1, N2), src_map,
+                          memory_space=pltpu.VMEM)
+    bs_tgt = pl.BlockSpec((1, 1, n1, N2), tgt_map, memory_space=pltpu.VMEM)
+    in_specs = [bs_src, bs_src]
+    args = list(x_pairs)
+    for p_ in extra_pairs:
+        in_specs += [bs_tgt, bs_tgt]
+        args += list(p_)
+    scratch = [pltpu.VMEM((n_scratch_rows, n1, N2), jnp.uint32)] * 2 \
+        + list(extra_scratch)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(consts_ops),
+        grid=(C, k_tgt),
+        in_specs=in_specs,
+        out_specs=[bs_tgt, bs_tgt],
+        scratch_shapes=scratch,
+    )
+    ol, oh = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C, k_tgt, n1, N2), jnp.uint32)] * 2,
+        interpret=interpret,
+        **_vm_kwargs(interpret),
+    )(*consts_ops, *args)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    return ol, oh
+
+
+def _split(x, rows):
+    """(..., rows, n) u64 -> ((C, rows, n1, N2) lo, hi), leading shape."""
+    lead = x.shape[:-2]
+    n = x.shape[-1]
+    C = 1
+    for d in lead:
+        C *= d
+    xr = x.reshape(C, rows, n // N2, N2)
+    return limb32.to_pair(xr), lead, C, n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rns_to_bsk(x, mpc: MultPallasConsts, interpret: bool = False):
+    """(..., k, n) base-q residues -> (..., k+1, n) in Bsk.
+    Bit-identical to behz.rns_to_bsk."""
+    k = mpc.k
+    (xl, xh), lead, C, n = _split(x, k)
+    n1 = n // N2
+    kern = _make_rns_to_bsk_kernel(k, n1, interpret)
+    ol, oh = _run(kern, (mpc.qsrc, mpc.qpre, mpc.tgt, mpc.amat, mpc.glob),
+                  (xl, xh), (), C, k, k + 1, n1, k,
+                  [pltpu.VMEM((n1, N2), jnp.uint32)], interpret)
+    return limb32.from_pair((ol, oh)).reshape(lead + (k + 1, n))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fast_floor(xq, xbsk, mpc: MultPallasConsts, interpret: bool = False):
+    """floor(t * x / q) in Bsk: (..., k, n), (..., k+1, n) -> (..., k+1, n).
+    Bit-identical to behz.fast_floor."""
+    k = mpc.k
+    (xql, xqh), lead, C, n = _split(xq, k)
+    (xbl, xbh), _, _, _ = _split(xbsk, k + 1)
+    n1 = n // N2
+    kern = _make_fast_floor_kernel(k, n1, interpret)
+    ol, oh = _run(kern, (mpc.qsrc, mpc.qpre, mpc.tgt, mpc.amat),
+                  (xql, xqh), ((xbl, xbh),), C, k, k + 1, n1, k, [],
+                  interpret)
+    return limb32.from_pair((ol, oh)).reshape(lead + (k + 1, n))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsk_to_q(x, mpc: MultPallasConsts, interpret: bool = False):
+    """Shenoy-Kumaresan (..., k+1, n) in Bsk -> (..., k, n) in q.
+    Bit-identical to behz.bsk_to_q."""
+    k = mpc.k
+    (xl, xh), lead, C, n = _split(x, k + 1)
+    n1 = n // N2
+    kern = _make_bsk_to_q_kernel(k, n1, interpret)
+    ol, oh = _run(kern, (mpc.qsrc, mpc.bsrc, mpc.bmat, mpc.bfin, mpc.glob),
+                  (xl, xh), (), C, k + 1, k, n1, k,
+                  [pltpu.VMEM((n1, N2), jnp.uint32)] * 3, interpret)
+    return limb32.from_pair((ol, oh)).reshape(lead + (k, n))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def scale_and_round(xq, xbsk, mpc: MultPallasConsts,
+                    interpret: bool = False):
+    """fast_floor + bsk_to_q (behz.scale_and_round) on the kernels."""
+    return bsk_to_q(fast_floor(xq, xbsk, mpc, interpret=interpret), mpc,
+                    interpret=interpret)
