@@ -523,18 +523,21 @@ class BFVContext:
         square(a, rlk=rlk)."""
         st = self._mult_setup()
         backend = self.backend
+        fusion = self.fusion
         bundles = dict(
             mc=st.mc, mpc=st.mpc, tq=self.tables_drop, fq=self.ftab_drop,
             tb=st.tables_bsk, fb=st.ftab_bsk, msd=self.ms_drop,
             msf=self.ms_full, msl=self.ms_last, tf=self.tables_full,
-            ff=self.ftab_full, dr=self.dr_consts)
+            ff=self.ftab_full, dr=self.dr_consts, tc=self.tail_consts,
+            nub=self._nu_bank())
 
         def finish(ct3, rlk, bz):
             if rlk is None:
                 return ct3
             cc = _keyswitch_jit(ct3[..., 2, :, :], rlk, bz["msf"],
                                 bz["msd"], bz["msl"], bz["tf"], bz["ff"],
-                                bz["dr"], backend)
+                                bz["dr"], bz["tc"], bz["nub"], backend,
+                                fusion)
             return _ct_add_jit(ct3[..., :2, :, :], cc, bz["msd"])
 
         def mul_fn(a, b, rlk, bz):
@@ -591,7 +594,9 @@ class BFVContext:
                              "relin_keygen returns (2, r-1, r, n)")
         cc = _keyswitch_jit(ct3[..., 2, :, :], rlk, self.ms_full,
                             self.ms_drop, self.ms_last, self.tables_full,
-                            self.ftab_full, self.dr_consts, self.backend)
+                            self.ftab_full, self.dr_consts,
+                            self.tail_consts, self._nu_bank(),
+                            self.backend, self.fusion)
         return _ct_add_jit(ct3[..., :2, :, :], cc, self.ms_drop)
 
     def galois_keygen(self, sk, elts, nonce=0):
@@ -639,7 +644,8 @@ class BFVContext:
                                  gk, self.ms_full, self.ms_drop,
                                  self.ms_last, self.tables_full,
                                  self.ftab_full, self.dr_consts,
-                                 self.backend)
+                                 self.tail_consts, self._nu_bank(),
+                                 self.backend, self.fusion)
 
     def next_context(self) -> "BFVContext":
         """The context one level down the modulus chain: same scheme over
@@ -762,6 +768,17 @@ class BFVContext:
                               for qj in p.q[:-1]] + [[0]], dtype=U64)
             self._mult_cache["p_mont"] = pm
         return pm
+
+    def _nu_bank(self):
+        """(r, 2) u32 floor(2^64/q_i) limb pairs (keyswitch_fused's
+        digit-reduction bank); cached."""
+        nb = self._mult_cache.get("nu_bank")
+        if nb is None:
+            rows = [((1 << 64) // q & 0xFFFFFFFF, ((1 << 64) // q) >> 32)
+                    for q in self.params.q]
+            nb = jnp.asarray(np.array(rows, dtype=np.uint32))
+            self._mult_cache["nu_bank"] = nb
+        return nb
 
     def _mult_setup(self) -> "_MultSetup":
         st = self._mult_cache.get("setup")
@@ -1076,28 +1093,41 @@ def _galois_keygen_jit(nonce, sk, perms, negs, ms, tables, ftab, p_mont,
     return jnp.stack(out)                            # (E, 2, k, r, n)
 
 
-@functools.partial(jax.jit, static_argnames=("backend",))
+@functools.partial(jax.jit, static_argnames=("backend", "fusion"))
 def _apply_galois_jit(ct, perm, neg, gk, ms_full, ms_drop, ms_last, tables,
-                      ftab, dr_consts, backend: str):
+                      ftab, dr_consts, ks_consts, nub, backend: str,
+                      fusion: str = "stage"):
     """tau_g on both ciphertext components (one gather + conditional
     negate), then key-switch the permuted c1 from tau_g(s) back to s."""
     tc = poly.galois_apply(ct, perm, neg, ms_drop)
     cc = _keyswitch_jit(tc[..., 1, :, :], gk, ms_full, ms_drop, ms_last,
-                        tables, ftab, dr_consts, backend)
+                        tables, ftab, dr_consts, ks_consts, nub, backend,
+                        fusion)
     c0 = modmath.add_mod(tc[..., 0, :, :], cc[..., 0, :, :], ms_drop.q)
     return jnp.stack([c0, cc[..., 1, :, :]], axis=-3)
 
 
-@functools.partial(jax.jit, static_argnames=("backend",))
+@functools.partial(jax.jit, static_argnames=("backend", "fusion"))
 def _keyswitch_jit(c2, rlk, ms_full, ms_drop, ms_last, tables, ftab,
-                   dr_consts, backend: str):
+                   dr_consts, ks_consts, nub, backend: str,
+                   fusion: str = "stage"):
     """c2 (…, k, n) -> (…, 2, k, n) via the rlk digits.
 
     The RNS digits d_j = [c2]_{q_j} are lifted to the full base by plain
     u64 reduction (modmath.mod_u64 — each digit is one 60-bit residue),
     transformed, multiplied into both key rows, and the accumulated
     (…, 2, r, n) pair divided by q_last with encryption's own
-    divide_and_round_q_last kernel."""
+    divide_and_round_q_last kernel.
+
+    On the pallas backends the WHOLE switch runs as one kernel
+    (fused_ops.keyswitch_fused): the (k, r, n) digit tensor and the
+    accumulator chains never touch HBM.  Unlike the keygen/encrypt op
+    kernels this fusion wins at EVERY size (32k_9q: 2167 vs 2548 us —
+    scratch/ks_ab.py), so it ignores the fusion schedule."""
+    if backend != "xla":
+        return fused_ops.keyswitch_fused(
+            c2, rlk, ftab, ks_consts, nub,
+            interpret=(backend == "pallas-interpret"))
     k = c2.shape[-2]
     d = modmath.mod_u64(c2[..., :, None, :], ms_full.q, ms_full.nu)
     dhat = _fwd(d, tables, ftab, ms_full, backend)   # (…, k, r, n)

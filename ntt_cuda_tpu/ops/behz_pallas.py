@@ -9,18 +9,28 @@ and the k x (k+1) base-change inner products multiply that by the
 matrix size.
 
 These kernels run each conversion as ONE VMEM-resident pass, the same
-design as the fused decrypt tail (ops/bfv_tail.py): grid over (component,
-target modulus), all k source planes resident per step, the shared
-prescaled operand (x * inv_punctured etc.) computed once per component
-into VMEM scratch at the first target step, and the per-target inner
-product + finish accumulated without touching HBM.  Traffic drops from
-O(k^2) tensors to exactly read-(k,n) + write-(k_t,n).
+design as the fused decrypt tail (ops/bfv_tail.py): grid over
+(component, target modulus), all k source planes resident per step, the
+shared prescaled operand computed once per component into VMEM scratch
+at the first target step, and the per-target inner product + finish
+accumulated without touching HBM.
 
-Bit-identical to ops/behz.py rns_to_bsk / fast_floor / bsk_to_q (same
-exact modular arithmetic, canonical [0, q) values at every interface;
-tested in tests/test_behz_pallas.py).  Generalizes the reference's
-decrypt-side fast_convert_array (poly_arithmetic.cuh:217-251) exactly
-as ops/behz.py does — see that module for the algorithm citations.
+Arithmetic: every multiply here is data x CONSTANT, so the kernels use
+Shoup mulmod with precomputed 2^64-scaled quotients (24 lane-multiplies
+via the loose mulhi, vs ~42 for Montgomery REDC — the same trade the
+NTT twiddle kernels make, NOTES_NEXT_ROUND.md kernel-v3) and keep
+inner-product accumulators lazy in [0, 4q) with one conditional
+subtract per term.  The head-to-head at 32k showed the first
+(Montgomery) kernel generation merely matching XLA — both
+compute-bound — so the multiply count is the lever.
+
+Values at every interface are CANONICAL [0, q) residues (fast base
+conversion sums canonical representatives by definition), which is also
+what makes the kernels bit-identical to ops/behz.py: identical integer
+values in, identical exact modular results out
+(tests/test_behz_pallas.py).  Generalizes the reference's decrypt-side
+fast_convert_array (poly_arithmetic.cuh:217-251) exactly as ops/behz.py
+does — see that module for the algorithm citations.
 """
 
 from __future__ import annotations
@@ -46,8 +56,36 @@ def _limbs(v: int) -> tuple[int, int]:
     return v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF
 
 
-def _mont_exact(a, b, q, qinv):
-    return limb32.reduce_once(limb32.mont_mul_lazy(a, b, q, qinv), q)
+def _wwp(w: int, q: int) -> tuple[int, int, int, int]:
+    """(w_lo, w_hi, wp_lo, wp_hi): the constant and its Shoup quotient
+    floor(w * 2^64 / q)."""
+    return _limbs(w) + _limbs((w << 64) // q)
+
+
+def _shoup_exact(v, ref, i, j, q):
+    """v * const mod q, CANONICAL: exact Shoup ([0, 2q)) + one
+    conditional subtract.  ref[i, j:j+4] holds (w, wp) limb pairs."""
+    w = (ref[i, j], ref[i, j + 1])
+    wp = (ref[i, j + 2], ref[i, j + 3])
+    return limb32.reduce_once(limb32.shoup_mulmod_lazy(v, w, wp, q), q)
+
+
+def _shoup_term(v, w, wp, q):
+    """v * const mod q in [0, 3q) — the lazy inner-product term."""
+    return limb32.shoup_mulmod_lazy4(v, w, wp, q)
+
+
+def _acc_lazy(acc, term, four_q):
+    """acc, term < 4q -> (acc + term) kept < 4q (one conditional sub;
+    sums stay < 8q < 2^64 for q < 2^61)."""
+    s = limb32.add64(acc, term)
+    return limb32.cond_sub64(s, four_q, limb32.geq64(s, four_q))
+
+
+def _norm4(x, q, two_q):
+    """[0, 4q) -> canonical [0, q): two conditional subtracts."""
+    x = limb32.cond_sub64(x, two_q, limb32.geq64(x, two_q))
+    return limb32.reduce_once(x, q)
 
 
 def _sub_mod(a, b, q):
@@ -59,25 +97,25 @@ def _sub_mod(a, b, q):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qsrc", "qpre", "tgt", "amat", "bsrc", "bmat", "bfin",
-                 "glob"],
+    data_fields=["qsrc", "tgt", "amat", "bsrc", "bmat", "bfin", "glob"],
     meta_fields=["k"],
 )
 @dataclasses.dataclass(frozen=True)
 class MultPallasConsts:
-    """u32 limb-pair constant banks for the three conversion kernels
-    (the Pallas packing of ops/behz.MultConsts)."""
+    """u32 limb-pair constant banks (value + Shoup quotient per
+    constant) for the three conversion kernels."""
 
-    qsrc: jax.Array   # (k, 4): q_j, qinv_j
-    qpre: jax.Array   # (k, 8): mt_mont, invp_q, t_mont_q pairs; bcm_q_mt lo; pad
-    tgt: jax.Array    # (k+1, 12): qb, qbinv, prodq_mont, inv_mt_mont,
-    #                   t_mont_bsk, inv_prodq_mont pairs
-    amat: jax.Array   # (k+1, k, 2): bcm_q_bsk mont pairs
-    bsrc: jax.Array   # (k, 8): b_j, binv_j, invp_b, bcm_b_msk_mont pairs
-    bmat: jax.Array   # (k, k, 2): bcm_b_q mont pairs ([target q_i][source b_j])
-    bfin: jax.Array   # (k, 2): prodb_mont_q pair
-    glob: jax.Array   # (10,): msk, msk_qinv, msk_half, inv_prodb_mont
-    #                   pairs; neg_inv_q_mt lo; pad
+    qsrc: jax.Array   # (k, 12): q_j pair; c_a=(mt*invp mod q_j) w/wp;
+    #                   c_f=(t*invp mod q_j) w/wp; bcm_q_mt lo; pad
+    tgt: jax.Array    # (k+1, 20): qb pair; prodq w/wp; inv_mt w/wp;
+    #                   t_bsk w/wp; inv_prodq w/wp; pad(2)
+    amat: jax.Array   # (k+1, k, 4): bcm_q_bsk w/wp (mod bsk_t)
+    bsrc: jax.Array   # (k, 12): b_j pair; invp_b w/wp; bcm_b_msk w/wp;
+    #                   pad(2)
+    bmat: jax.Array   # (k, k, 4): bcm_b_q w/wp (mod q_t)
+    bfin: jax.Array   # (k, 4): prodb w/wp (mod q_t)
+    glob: jax.Array   # (12,): msk pair; msk_half pair; inv_prodb w/wp;
+    #                   neg_inv_q_mt lo; pad
     k: int
 
     @staticmethod
@@ -98,34 +136,44 @@ class MultPallasConsts:
         punct_b = [b_prod // bj for bj in aux.b]
 
         u32 = lambda rows: jnp.asarray(np.array(rows, dtype=np.uint32))
-        qsrc = u32([_limbs(q) + _limbs(hm.mont_qinv_neg(q)) for q in qs])
-        qpre = u32([_limbs(hm.to_mont(mt % qj, qj))
-                    + _limbs(hm.to_mont(hm.modinv(pj % qj, qj), qj))
-                    + _limbs(hm.to_mont(params.t % qj, qj))
-                    + (pj % mt, 0)
-                    for pj, qj in zip(punct_q, qs)])
-        tgt = u32([_limbs(m) + _limbs(hm.mont_qinv_neg(m))
-                   + _limbs(hm.to_mont(q_prod % m, m))
-                   + _limbs(hm.to_mont(hm.modinv(mt % m, m), m))
-                   + _limbs(hm.to_mont(params.t % m, m))
-                   + _limbs(hm.to_mont(hm.modinv(q_prod % m, m), m))
-                   for m in bsk])
-        amat = u32([[_limbs(hm.to_mont(pj % m, m)) for pj in punct_q]
-                    for m in bsk])
-        bsrc = u32([_limbs(bj) + _limbs(hm.mont_qinv_neg(bj))
-                    + _limbs(hm.to_mont(hm.modinv(pj % bj, bj), bj))
-                    + _limbs(hm.to_mont(pj % msk, msk))
-                    for pj, bj in zip(punct_b, aux.b)])
-        bmat = u32([[_limbs(hm.to_mont(pj % qi, qi)) for pj in punct_b]
-                    for qi in qs])
-        bfin = u32([_limbs(hm.to_mont(b_prod % qi, qi)) for qi in qs])
-        glob = u32(_limbs(msk) + _limbs(hm.mont_qinv_neg(msk))
-                   + _limbs(msk >> 1)
-                   + _limbs(hm.to_mont(hm.modinv(b_prod % msk, msk), msk))
+        qsrc = u32([
+            _limbs(qj)
+            + _wwp(mt * hm.modinv(pj % qj, qj) % qj, qj)
+            + _wwp(params.t * hm.modinv(pj % qj, qj) % qj, qj)
+            + (pj % mt, 0)
+            for pj, qj in zip(punct_q, qs)])
+        tgt = u32([
+            _limbs(m)
+            + _wwp(q_prod % m, m)
+            + _wwp(hm.modinv(mt % m, m), m)
+            + _wwp(params.t % m, m)
+            + _wwp(hm.modinv(q_prod % m, m), m)
+            + (0, 0)
+            for m in bsk])
+        amat = u32([[_wwp(pj % m, m) for pj in punct_q] for m in bsk])
+        bsrc = u32([
+            _limbs(bj)
+            + _wwp(hm.modinv(pj % bj, bj), bj)
+            + _wwp(pj % msk, msk)
+            + (0, 0)
+            for pj, bj in zip(punct_b, aux.b)])
+        bmat = u32([[_wwp(pj % qi, qi) for pj in punct_b] for qi in qs])
+        bfin = u32([_wwp(b_prod % qi, qi) for qi in qs])
+        glob = u32(_limbs(msk) + _limbs(msk >> 1)
+                   + _wwp(hm.modinv(b_prod % msk, msk), msk)
                    + ((-pow(q_prod, -1, mt)) % mt, 0))
-        return MultPallasConsts(qsrc=qsrc, qpre=qpre, tgt=tgt, amat=amat,
-                                bsrc=bsrc, bmat=bmat, bfin=bfin, glob=glob,
-                                k=k)
+        return MultPallasConsts(qsrc=qsrc, tgt=tgt, amat=amat, bsrc=bsrc,
+                                bmat=bmat, bfin=bfin, glob=glob, k=k)
+
+
+def _inner_product(k, zl, zh, mat, t, qb, two_qb, four_qb):
+    """Sum_j zp_j * mat[t, j] mod qb, canonical (lazy accumulation)."""
+    acc = None
+    for j in range(k):
+        term = _shoup_term((zl[j], zh[j]), (mat[t, j, 0], mat[t, j, 1]),
+                           (mat[t, j, 2], mat[t, j, 3]), qb)
+        acc = term if acc is None else _acc_lazy(acc, term, four_qb)
+    return _norm4(acc, qb, two_qb)
 
 
 # ---------------------------------------------------------------------------
@@ -133,7 +181,7 @@ class MultPallasConsts:
 # ---------------------------------------------------------------------------
 
 def _make_rns_to_bsk_kernel(k: int, n1: int, interpret: bool):
-    def kernel(qsrc, qpre, tgt, amat, glob,
+    def kernel(qsrc, tgt, amat, glob,
                xl_ref, xh_ref, ol_ref, oh_ref, zl, zh, rp):
         t = pl.program_id(1)
 
@@ -142,27 +190,20 @@ def _make_rns_to_bsk_kernel(k: int, n1: int, interpret: bool):
             ymt = jnp.zeros((n1, N2), U32)
             for j in range(k):
                 q = (qsrc[j, 0], qsrc[j, 1])
-                qinv = (qsrc[j, 2], qsrc[j, 3])
-                mtm = (qpre[j, 0], qpre[j, 1])
-                invp = (qpre[j, 2], qpre[j, 3])
                 x = (xl_ref[0, j], xh_ref[0, j])
-                z = _mont_exact(x, mtm, q, qinv)       # x * m_tilde mod q
-                zp = _mont_exact(z, invp, q, qinv)     # * (q/q_j)^-1
+                # zp = x * (m_tilde * (q/q_j)^-1) mod q_j, one multiply
+                zp = _shoup_exact(x, qsrc, j, 2, q)
                 zl[j] = zp[0]
                 zh[j] = zp[1]
                 # m_tilde channel wraps mod 2^32: low limbs only
-                ymt = ymt + zp[0] * qpre[j, 6]
+                ymt = ymt + zp[0] * qsrc[j, 10]
             # r = -Y/q mod m_tilde (mask arithmetic)
             rp[...] = ymt * glob[8]
 
         qb = (tgt[t, 0], tgt[t, 1])
-        qbinv = (tgt[t, 2], tgt[t, 3])
-        acc = None
-        for j in range(k):
-            term = _mont_exact((zl[j], zh[j]), (amat[t, j, 0], amat[t, j, 1]),
-                               qb, qbinv)
-            acc = term if acc is None else \
-                limb32.reduce_once(limb32.add64(acc, term), qb)
+        two_qb = limb32.add64(qb, qb)
+        four_qb = limb32.add64(two_qb, two_qb)
+        y = _inner_product(k, zl, zh, amat, t, qb, two_qb, four_qb)
         # sm_mrq: centered r lift, + r*q, / m_tilde
         r = rp[...]
         big = r >= U32(1 << 31)
@@ -171,9 +212,9 @@ def _make_rns_to_bsk_kernel(k: int, n1: int, interpret: bool):
         shifted = limb32.add64(qm, (r, jnp.zeros_like(r)))
         temp = (jnp.where(big, shifted[0], r),
                 jnp.where(big, shifted[1], jnp.zeros_like(r)))
-        corr = _mont_exact(temp, (tgt[t, 4], tgt[t, 5]), qb, qbinv)
-        s = limb32.reduce_once(limb32.add64(acc, corr), qb)
-        out = _mont_exact(s, (tgt[t, 6], tgt[t, 7]), qb, qbinv)
+        corr = _shoup_exact(temp, tgt, t, 2, qb)      # * prod(q) mod m
+        s = limb32.reduce_once(limb32.add64(y, corr), qb)
+        out = _shoup_exact(s, tgt, t, 6, qb)          # * m_tilde^-1
         ol_ref[0, 0] = out[0]
         oh_ref[0, 0] = out[1]
     return kernel
@@ -184,7 +225,7 @@ def _make_rns_to_bsk_kernel(k: int, n1: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 def _make_fast_floor_kernel(k: int, n1: int, interpret: bool):
-    def kernel(qsrc, qpre, tgt, amat,
+    def kernel(qsrc, tgt, amat,
                xql_ref, xqh_ref, xbl_ref, xbh_ref, ol_ref, oh_ref, zl, zh):
         t = pl.program_id(1)
 
@@ -192,27 +233,19 @@ def _make_fast_floor_kernel(k: int, n1: int, interpret: bool):
         def _prescale():
             for j in range(k):
                 q = (qsrc[j, 0], qsrc[j, 1])
-                qinv = (qsrc[j, 2], qsrc[j, 3])
-                tm = (qpre[j, 4], qpre[j, 5])
-                invp = (qpre[j, 2], qpre[j, 3])
                 x = (xql_ref[0, j], xqh_ref[0, j])
-                y = _mont_exact(x, tm, q, qinv)        # * t mod q_j
-                zp = _mont_exact(y, invp, q, qinv)
+                # zp = x * (t * (q/q_j)^-1) mod q_j, one multiply
+                zp = _shoup_exact(x, qsrc, j, 6, q)
                 zl[j] = zp[0]
                 zh[j] = zp[1]
 
         qb = (tgt[t, 0], tgt[t, 1])
-        qbinv = (tgt[t, 2], tgt[t, 3])
-        yb = _mont_exact((xbl_ref[0, 0], xbh_ref[0, 0]),
-                         (tgt[t, 8], tgt[t, 9]), qb, qbinv)   # * t mod m
-        acc = None
-        for j in range(k):
-            term = _mont_exact((zl[j], zh[j]), (amat[t, j, 0], amat[t, j, 1]),
-                               qb, qbinv)
-            acc = term if acc is None else \
-                limb32.reduce_once(limb32.add64(acc, term), qb)
-        diff = _sub_mod(yb, acc, qb)
-        out = _mont_exact(diff, (tgt[t, 10], tgt[t, 11]), qb, qbinv)
+        two_qb = limb32.add64(qb, qb)
+        four_qb = limb32.add64(two_qb, two_qb)
+        yb = _shoup_exact((xbl_ref[0, 0], xbh_ref[0, 0]), tgt, t, 10, qb)
+        conv = _inner_product(k, zl, zh, amat, t, qb, two_qb, four_qb)
+        diff = _sub_mod(yb, conv, qb)
+        out = _shoup_exact(diff, tgt, t, 14, qb)      # * prod(q)^-1
         ol_ref[0, 0] = out[0]
         oh_ref[0, 0] = out[1]
     return kernel
@@ -230,42 +263,38 @@ def _make_bsk_to_q_kernel(k: int, n1: int, interpret: bool):
         @pl.when(t == 0)
         def _prescale():
             msk = (glob[0], glob[1])
-            mskinv = (glob[2], glob[3])
+            two_m = limb32.add64(msk, msk)
+            four_m = limb32.add64(two_m, two_m)
             cm = None
             for j in range(k):
                 b = (bsrc[j, 0], bsrc[j, 1])
-                binv = (bsrc[j, 2], bsrc[j, 3])
-                invp = (bsrc[j, 4], bsrc[j, 5])
                 x = (xl_ref[0, j], xh_ref[0, j])
-                xp = _mont_exact(x, invp, b, binv)
+                xp = _shoup_exact(x, bsrc, j, 2, b)   # * (B/b_j)^-1
                 xpl[j] = xp[0]
                 xph[j] = xp[1]
-                term = _mont_exact(xp, (bsrc[j, 6], bsrc[j, 7]),
-                                   msk, mskinv)
-                cm = term if cm is None else \
-                    limb32.reduce_once(limb32.add64(cm, term), msk)
+                term = _shoup_term(xp, (bsrc[j, 6], bsrc[j, 7]),
+                                   (bsrc[j, 8], bsrc[j, 9]), msk)
+                cm = term if cm is None else _acc_lazy(cm, term, four_m)
+            cm = _norm4(cm, msk, two_m)
             xm = (xl_ref[0, k], xh_ref[0, k])
-            alpha = _mont_exact(_sub_mod(cm, xm, msk),
-                                (glob[6], glob[7]), msk, mskinv)
-            neg = limb32.gt64(alpha, (glob[4], glob[5]))   # strict >
+            w = (glob[4], glob[5])
+            wp = (glob[6], glob[7])
+            alpha = limb32.reduce_once(limb32.shoup_mulmod_lazy(
+                _sub_mod(cm, xm, msk), w, wp, msk), msk)
+            neg = limb32.gt64(alpha, (glob[2], glob[3]))   # strict >
             negp[...] = neg.astype(U32)
             mag = limb32.select64(neg, limb32.sub64(msk, alpha), alpha)
             magl[...] = mag[0]
             magh[...] = mag[1]
 
         q = (qsrc[t, 0], qsrc[t, 1])
-        qinv = (qsrc[t, 2], qsrc[t, 3])
-        acc = None
-        for j in range(k):
-            term = _mont_exact((xpl[j], xph[j]), (bmat[t, j, 0], bmat[t, j, 1]),
-                               q, qinv)
-            acc = term if acc is None else \
-                limb32.reduce_once(limb32.add64(acc, term), q)
-        corr = _mont_exact((magl[...], magh[...]), (bfin[t, 0], bfin[t, 1]),
-                           q, qinv)
+        two_q = limb32.add64(q, q)
+        four_q = limb32.add64(two_q, two_q)
+        cq = _inner_product(k, xpl, xph, bmat, t, q, two_q, four_q)
+        corr = _shoup_exact((magl[...], magh[...]), bfin, t, 0, q)
         neg = negp[...] != U32(0)
-        plus = limb32.reduce_once(limb32.add64(acc, corr), q)
-        minus = _sub_mod(acc, corr, q)
+        plus = limb32.reduce_once(limb32.add64(cq, corr), q)
+        minus = _sub_mod(cq, corr, q)
         out = limb32.select64(neg, plus, minus)
         ol_ref[0, 0] = out[0]
         oh_ref[0, 0] = out[1]
@@ -338,7 +367,7 @@ def rns_to_bsk(x, mpc: MultPallasConsts, interpret: bool = False):
     (xl, xh), lead, C, n = _split(x, k)
     n1 = n // N2
     kern = _make_rns_to_bsk_kernel(k, n1, interpret)
-    ol, oh = _run(kern, (mpc.qsrc, mpc.qpre, mpc.tgt, mpc.amat, mpc.glob),
+    ol, oh = _run(kern, (mpc.qsrc, mpc.tgt, mpc.amat, mpc.glob),
                   (xl, xh), (), C, k, k + 1, n1, k,
                   [pltpu.VMEM((n1, N2), jnp.uint32)], interpret)
     return limb32.from_pair((ol, oh)).reshape(lead + (k + 1, n))
@@ -353,7 +382,7 @@ def fast_floor(xq, xbsk, mpc: MultPallasConsts, interpret: bool = False):
     (xbl, xbh), _, _, _ = _split(xbsk, k + 1)
     n1 = n // N2
     kern = _make_fast_floor_kernel(k, n1, interpret)
-    ol, oh = _run(kern, (mpc.qsrc, mpc.qpre, mpc.tgt, mpc.amat),
+    ol, oh = _run(kern, (mpc.qsrc, mpc.tgt, mpc.amat),
                   (xql, xqh), ((xbl, xbh),), C, k, k + 1, n1, k, [],
                   interpret)
     return limb32.from_pair((ol, oh)).reshape(lead + (k + 1, n))

@@ -561,3 +561,161 @@ def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
     c1 = limb32.from_pair((o1l, o1h)).reshape(J, r - 1, n)
     ct = jnp.stack([c0, c1], axis=1)       # (J, 2, r-1, n)
     return ct[0] if single else ct
+
+
+# ---------------------------------------------------------------------------
+# keyswitch_fused (relinearization / Galois key switching, whole op)
+# ---------------------------------------------------------------------------
+
+def _make_keyswitch_kernel(k: int, r: int, n1: int, interpret: bool):
+    """Grid (J, r) with m_step 0 = the LAST modulus (its adjusted residue
+    pair lives in VMEM scratch for the kept-residue steps, exactly like
+    encrypt_fused).  Per modulus step: k digit reductions + k forward
+    chains + dyadic-accumulate against both key rows + 2 inverse chains
+    + the divide_and_round_q_last tail — one twiddle fetch per modulus
+    for the whole key switch (the XLA path round-trips the (k, r, n)
+    digit tensor and the (2, r, n) accumulator chains through HBM)."""
+    from .bfv_tail import _mod_u64
+    rr = np.int32(r)
+
+    def kernel(pm_ref, gl_ref, nub_ref, qc_ref, c2l_ref, c2h_ref,
+               kl_ref, kh_ref,
+               ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
+               o0l_ref, o0h_ref, o1l_ref, o1h_ref, ra_l, ra_h):
+        m_step = pl.program_id(1)
+        mi = jnp.where(m_step == 0, rr - 1, m_step - 1)
+        qq, two_q, four_q, qinv = _qvals(qc_ref, mi)
+        nu = (nub_ref[mi, 0], nub_ref[mi, 1])
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+
+        acc0 = acc1 = None
+        for j in range(k):
+            d = _mod_u64((c2l_ref[0, j], c2h_ref[0, j]), qq, nu)
+            dh = _fwd_chain(d, ta_ref, tc_ref, tb_ref, qq, two_q, four_q,
+                            n1, row, lane, interpret)
+            # Montgomery dyadic products; the single 2^-64 skew of the
+            # accumulated sum is corrected by the inverse chain's tcir
+            t0 = limb32.reduce_once(limb32.mont_mul_lazy(
+                dh, (kl_ref[0, j], kh_ref[0, j]), qq, qinv), qq)
+            t1 = limb32.reduce_once(limb32.mont_mul_lazy(
+                dh, (kl_ref[0, k + j], kh_ref[0, k + j]), qq, qinv), qq)
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                acc0 = limb32.reduce_once(limb32.add64(acc0, t0), qq)
+                acc1 = limb32.reduce_once(limb32.add64(acc1, t1), qq)
+            if interpret:
+                acc0, acc1 = jax.lax.optimization_barrier((acc0, acc1))
+
+        def inv_chain(x):
+            x = ntp._stage_b_inv(x, tbi_ref.at[0], qq, four_q, lane,
+                                 interpret)
+            x = ntp._elementwise_fix(x, tcir_ref.at[0], qq)
+            x = ntp._stage_a_inv(x, tai_ref.at[0], qq, four_q, n1, row,
+                                 interpret)
+            return ntp._normalize(x, qq, two_q)
+
+        cc0 = inv_chain(acc0)
+        cc1 = inv_chain(acc1)
+
+        q_last = (gl_ref[0], gl_ref[1])
+        half = (gl_ref[2], gl_ref[3])
+
+        @pl.when(m_step == 0)
+        def _last():
+            for h, cc in ((0, cc0), (1, cc1)):
+                ra = limb32.add64(cc, half)
+                ra = limb32.reduce_once(ra, q_last)
+                ra_l[h] = ra[0]
+                ra_h[h] = ra[1]
+
+        @pl.when(m_step > 0)
+        def _kept():
+            ki = m_step - 1
+            q = (pm_ref[ki, 0], pm_ref[ki, 1])
+            qinv_k = (pm_ref[ki, 2], pm_ref[ki, 3])
+            nu_k = (pm_ref[ki, 4], pm_ref[ki, 5])
+            half_mod = (pm_ref[ki, 6], pm_ref[ki, 7])
+            invq_mont = (pm_ref[ki, 8], pm_ref[ki, 9])
+            zero = (jnp.zeros_like(q[0]), jnp.zeros_like(q[1]))
+            for h, cc, ol, oh in ((0, cc0, o0l_ref, o0h_ref),
+                                  (1, cc1, o1l_ref, o1h_ref)):
+                ra = (ra_l[h], ra_h[h])
+                tmp = _mod_u64(ra, q, nu_k)
+                tmp = limb32.add64(tmp, limb32.select64(
+                    limb32.lt64(tmp, half_mod), q, zero))
+                tmp = limb32.sub64(tmp, half_mod)
+                v = limb32.add64(cc, limb32.select64(
+                    limb32.lt64(cc, tmp), q, zero))
+                v = limb32.sub64(v, tmp)
+                out = limb32.mont_mul_lazy(v, invq_mont, q, qinv_k)
+                out = limb32.reduce_once(out, q)
+                ol[0] = out[0]
+                oh[0] = out[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def keyswitch_fused(c2, ksk, ftab, consts: TailConsts, nub,
+                    interpret: bool = False):
+    """(..., k, n) digit source + (2, k, r, n) NTT-domain switching keys
+    -> (..., 2, k, n): the whole key switch (digit decomposition, k
+    forward transforms, dyadic accumulation against both key rows, 2
+    inverse transforms, divide_and_round_q_last) in ONE kernel per
+    modulus grid step.  Bit-identical to models.bfv._keyswitch_jit's
+    unfused pipeline.  nub: (r, 2) u32 floor(2^64/q_i) limb pairs."""
+    single = c2.ndim == 2
+    if single:
+        c2 = c2[None]
+    J, k, n = c2.shape
+    r = ksk.shape[2]
+    n1 = n // N2
+    LA = (n1.bit_length() - 1) * n1
+    cl, ch = limb32.to_pair(c2.reshape(J, k, n1, N2))
+    # key rows per modulus: (2, k, r, n) -> (r, 2k, n1, N2)
+    kt = jnp.moveaxis(ksk, 2, 0).reshape(r, 2 * k, n1, N2)
+    ktl, kth = limb32.to_pair(kt)
+
+    z = np.int32(0)
+    rr = np.int32(r)
+    rk = np.int32(r - 1)
+    res = lambda m: jnp.where(m == 0, rr - 1, m - 1)
+    cmap = lambda j, m, pm, gl, nb, qc: (j, z, z, z)
+    kmap = lambda j, m, pm, gl, nb, qc: (res(m), z, z, z)
+    tmap = lambda j, m, pm, gl, nb, qc: (res(m), z, z, z)
+    omap = lambda j, m, pm, gl, nb, qc: (
+        jnp.where(m == 0, j * rk, j * rk + m - 1), z, z)
+    cs = pl.BlockSpec((1, k, n1, N2), cmap, memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, 2 * k, n1, N2), kmap, memory_space=pltpu.VMEM)
+    bs = pl.BlockSpec((1, n1, N2), omap, memory_space=pltpu.VMEM)
+    ts = lambda rows: pl.BlockSpec((1, 4, rows, N2), tmap,
+                                   memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,   # per_mod, glob, nub, qconst
+        grid=(J, r),
+        in_specs=[cs, cs, ks, ks,
+                  ts(LA), ts(n1), ts(8), ts(LA), ts(n1), ts(8)],
+        out_specs=[bs] * 4,
+        scratch_shapes=[pltpu.VMEM((2, n1, N2), jnp.uint32)] * 2,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    o0l, o0h, o1l, o1h = pl.pallas_call(
+        _make_keyswitch_kernel(k, r, n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((J * (r - 1), n1, N2),
+                                        jnp.uint32)] * 4,
+        interpret=interpret,
+        **kwargs,
+    )(consts.per_mod, consts.glob, nub, ftab.qconst, cl, ch, ktl, kth,
+      ftab.ta, ftab.tc, ftab.tb, ftab.tai, ftab.tcir, ftab.tbi)
+    if interpret:
+        o0l, o0h, o1l, o1h = jax.lax.optimization_barrier(
+            (o0l, o0h, o1l, o1h))
+    c0 = limb32.from_pair((o0l, o0h)).reshape(J, r - 1, n)
+    c1 = limb32.from_pair((o1l, o1h)).reshape(J, r - 1, n)
+    out = jnp.stack([c0, c1], axis=1)      # (J, 2, r-1, n)
+    return out[0] if single else out
