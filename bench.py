@@ -507,28 +507,49 @@ def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
             return mul_fn(cc, ct2b, rl, bz)
         return jax.lax.fori_loop(0, k, body, c)
 
+    # Galois rotation (rotate_rows by 1): the batching workload's hot op
+    from ntt_cuda_tpu.models import encoder as encoder_mod
+    from ntt_cuda_tpu.ops import poly as poly_mod
+    g = encoder_mod.rotation_element(n, 1)
+    gk = ctx.galois_keygen(sk, [g], nonce=9)[g]
+    perm, neg = poly_mod.galois_maps(n, g)
+    perm_j = jnp.asarray(perm)
+    neg_j = jnp.asarray(neg)
+
+    @jax.jit
+    def rot_step(c, k, gkk, bz):
+        def body(_, cc):
+            return bfv._apply_galois_jit(
+                cc, perm_j, neg_j, gkk, bz["msf"], bz["msd"], bz["msl"],
+                bz["tf"], bz["ff"], bz["dr"], bz["tc"], bz["nub"],
+                ctx.backend, ctx.fusion)
+        return jax.lax.fori_loop(0, k, body, c)
+
     hi = max(16, (1 << 22) // (n * r))
     kw = dict(inner_lo=max(2, hi // 8), inner_hi=hi, reps=3, epochs=3)
     t_mul = profiling.time_chained_dynamic(mul_step, ct1, rlk, bundles,
                                            **kw)
     t_sq = profiling.time_chained_dynamic(sq_step, ct1, rlk, bundles,
                                           **kw)
+    t_rot = profiling.time_chained_dynamic(rot_step, ct1, gk, bundles,
+                                           **kw)
     hij = max(4, hi // J)
     t_mb = profiling.time_chained_dynamic(
         mul_batch_step, ct1b, rlk, bundles, inner_lo=max(2, hij // 8),
         inner_hi=hij, reps=3, epochs=3)
-    if min(t_mul, t_sq, t_mb) <= 0:
+    if min(t_mul, t_sq, t_rot, t_mb) <= 0:
         raise RuntimeError("degenerate slope")
     row = {
         "fusion": ctx.fusion,
         "mul_relin_us": round(t_mul * 1e6, 2),
         "square_relin_us": round(t_sq * 1e6, 2),
+        "rotate_us": round(t_rot * 1e6, 2),
         "J": J,
         "mul_relin_us_per_msg_batched": round(t_mb / J * 1e6, 2),
         "mul_relin_ops_per_s_batched": round(J / t_mb, 1),
     }
     _log(f"[bench] mult {name}: mul {t_mul*1e6:.1f} sq {t_sq*1e6:.1f} "
-         f"batched {t_mb/J*1e6:.1f} us/msg "
+         f"rot {t_rot*1e6:.1f} batched {t_mb/J*1e6:.1f} us/msg "
          f"({time.perf_counter()-t0:.0f}s incl. compiles)")
     return row
 
