@@ -408,3 +408,82 @@ def scale_and_round(xq, xbsk, mpc: MultPallasConsts,
     """fast_floor + bsk_to_q (behz.scale_and_round) on the kernels."""
     return bsk_to_q(fast_floor(xq, xbsk, mpc, interpret=interpret), mpc,
                     interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Target-row-sliced variants for the sharded ('rns' mesh) pipelines.
+#
+# Under shard_map each shard owns a contiguous band of target rows
+# [row0, row0 + rl) while the SOURCE rows arrive whole (one all_gather —
+# parallel/spmd_mult.py).  The kernels themselves are unchanged: the
+# target-indexed constant banks are dynamic-sliced to the shard's band
+# (row0 is a traced axis_index expression; rl is static), so grid axis 1
+# runs 0..rl-1 against bank row t == global row row0 + t.  Source banks
+# stay whole.  Bit-exactness carries over row-for-row from the full
+# kernels (tests/test_spmd_mult.py asserts shard outputs == single-chip).
+# ---------------------------------------------------------------------------
+
+def _rows(bank, row0, rl):
+    return jax.lax.dynamic_slice_in_dim(bank, row0, rl, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("rl", "interpret"))
+def rns_to_bsk_rows(x, mpc: MultPallasConsts, row0, rl: int,
+                    interpret: bool = False):
+    """Rows [row0, row0+rl) of rns_to_bsk's (..., k+1, n) output from the
+    full (..., k, n) base-q input."""
+    k = mpc.k
+    (xl, xh), lead, C, n = _split(x, k)
+    n1 = n // N2
+    kern = _make_rns_to_bsk_kernel(k, n1, interpret)
+    ol, oh = _run(kern, (mpc.qsrc, _rows(mpc.tgt, row0, rl),
+                         _rows(mpc.amat, row0, rl), mpc.glob),
+                  (xl, xh), (), C, k, rl, n1, k,
+                  [pltpu.VMEM((n1, N2), jnp.uint32)], interpret)
+    return limb32.from_pair((ol, oh)).reshape(lead + (rl, n))
+
+
+@functools.partial(jax.jit, static_argnames=("rl", "interpret"))
+def fast_floor_rows(xq, xbsk_rows, mpc: MultPallasConsts, row0, rl: int,
+                    interpret: bool = False):
+    """Rows [row0, row0+rl) of fast_floor: full (..., k, n) base-q input,
+    the shard's own (..., rl, n) Bsk rows."""
+    k = mpc.k
+    (xql, xqh), lead, C, n = _split(xq, k)
+    (xbl, xbh), _, _, _ = _split(xbsk_rows, rl)
+    n1 = n // N2
+    kern = _make_fast_floor_kernel(k, n1, interpret)
+    ol, oh = _run(kern, (mpc.qsrc, _rows(mpc.tgt, row0, rl),
+                         _rows(mpc.amat, row0, rl)),
+                  (xql, xqh), ((xbl, xbh),), C, k, rl, n1, k, [],
+                  interpret)
+    return limb32.from_pair((ol, oh)).reshape(lead + (rl, n))
+
+
+@functools.partial(jax.jit, static_argnames=("rl", "interpret"))
+def bsk_to_q_rows(x, mpc: MultPallasConsts, row0, rl: int,
+                  interpret: bool = False):
+    """Rows [row0, row0+rl) of bsk_to_q's PADDED (..., k+1, n) output
+    (row k — the sharded layout's dropped-modulus pad — computes to 0,
+    matching the padded XLA shard formula): full (..., k+1, n) Bsk input.
+
+    Padded target banks: bmat/bfin pad rows are zero (every inner-product
+    term and the correction vanish), qsrc's pad row reuses row 0's
+    modulus limbs so the dead lane arithmetic stays in range."""
+    k = mpc.k
+    (xl, xh), lead, C, n = _split(x, k + 1)
+    n1 = n // N2
+    qsrc_pad = jnp.concatenate([mpc.qsrc, mpc.qsrc[:1]], axis=0)
+    bmat_pad = jnp.concatenate(
+        [mpc.bmat, jnp.zeros((1,) + mpc.bmat.shape[1:], mpc.bmat.dtype)],
+        axis=0)
+    bfin_pad = jnp.concatenate(
+        [mpc.bfin, jnp.zeros((1,) + mpc.bfin.shape[1:], mpc.bfin.dtype)],
+        axis=0)
+    kern = _make_bsk_to_q_kernel(k, n1, interpret)
+    ol, oh = _run(kern, (_rows(qsrc_pad, row0, rl), mpc.bsrc,
+                         _rows(bmat_pad, row0, rl),
+                         _rows(bfin_pad, row0, rl), mpc.glob),
+                  (xl, xh), (), C, k + 1, rl, n1, k,
+                  [pltpu.VMEM((n1, N2), jnp.uint32)] * 3, interpret)
+    return limb32.from_pair((ol, oh)).reshape(lead + (rl, n))

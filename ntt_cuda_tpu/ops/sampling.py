@@ -136,8 +136,16 @@ def ternary(bytes_u8: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
 
 def uniform(u64s: jax.Array, ms: modmath.ModulusSet) -> jax.Array:
     """(r, n) u64 words -> (r, n) uniform residues in [0, q-1):
-    floor(u * (q-1) / 2^64) (integer-exact spec; see module docstring)."""
-    return modmath.mulhi_u64(u64s, ms.q - U64(1))
+    floor(u * (q-1) / 2^64) (integer-exact spec; see module docstring).
+
+    The optimization_barrier is load-bearing on TPU: letting XLA fuse
+    the keystream u64 lane extraction (block_words_u64's transpose +
+    pack) into the mulhi triples the cost through pathological layout
+    choices — measured 160 us fused vs 71 us fenced for the (9, 32768)
+    keygen draw at 32k_9q, with each side alone at 48 + ~2 us
+    (scratch/uniform_profile.py)."""
+    return modmath.mulhi_u64(jax.lax.optimization_barrier(u64s),
+                             ms.q - U64(1))
 
 
 # ---------------------------------------------------------------------------

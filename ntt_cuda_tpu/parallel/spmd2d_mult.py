@@ -28,8 +28,9 @@ from ..ops import behz, bfv_tail, modmath, ntt, ntt_pallas, poly, salsa20, \
 from . import coef_pallas
 from .mesh import COEF_AXIS, RNS_AXIS
 from .spmd2d import Spmd2DBFVContext, _ftab_local
-from .spmd_mult import SpmdMultConsts, _bsk_to_q_shard, _fast_floor_shard, \
-    _rns_to_bsk_shard
+from .spmd_mult import SpmdMultConsts, _bsk_to_q_shard, \
+    _bsk_to_q_shard_pl, _fast_floor_shard, _fast_floor_shard_pl, \
+    _rns_to_bsk_shard, _rns_to_bsk_shard_pl
 
 U64 = jnp.uint64
 
@@ -90,16 +91,34 @@ class Spmd2DMultContext:
     mc: SpmdMultConsts                  # replicated banks (table fields None)
     cnt_bsk: coef_pallas.CoefShardedNTT
     ms_bsk: modmath.ModulusSet          # (r, 1) rows, P('rns', None)
+    conv_impl: str = "xla"              # "pallas"/"pallas-interpret"/"xla"
 
     @staticmethod
-    def build(base: Spmd2DBFVContext) -> "Spmd2DMultContext":
+    def build(base: Spmd2DBFVContext,
+              conv_impl: str | None = None) -> "Spmd2DMultContext":
+        """conv_impl selects the base-conversion implementation: the
+        single-pass Pallas kernels ("pallas", the real-TPU default;
+        "pallas-interpret" for CPU validation) or the portable XLA
+        chains ("xla", the interpret-mesh default — interpret-mode
+        kernel sweeps cost seconds per call in tests).  Requires
+        n/C % 128 == 0 for the kernel forms."""
         p = base.params
+        if conv_impl is None:
+            conv_impl = "xla" if base.interpret else "pallas"
+        if conv_impl not in ("pallas", "pallas-interpret", "xla"):
+            raise ValueError(f"unknown conv_impl {conv_impl!r}")
+        if conv_impl != "xla" and (p.n // base.mesh.shape[COEF_AXIS]) \
+                % 128 != 0:
+            raise ValueError("pallas conversions need n/C % 128 == 0")
         aux = behz.AuxBase.build(p)
         banks = SpmdMultConsts.host_build(p, aux)
         rep = NamedSharding(base.mesh, P())
         row = NamedSharding(base.mesh, P(RNS_AXIS))
+        from ..ops import behz_pallas
         mc = SpmdMultConsts(
-            **{kk: jax.device_put(v, rep) for kk, v in banks.items()})
+            **{kk: jax.device_put(v, rep) for kk, v in banks.items()},
+            mpc=(jax.device_put(behz_pallas.MultPallasConsts.build(p, aux),
+                                rep) if conv_impl != "xla" else None))
         cnt_bsk = coef_pallas.CoefShardedNTT.build(
             aux.bsk, aux.bsk_psi, p.n, base.mesh, interpret=base.interpret)
         ms_bsk = jax.tree.map(
@@ -108,7 +127,7 @@ class Spmd2DMultContext:
                 x.shape[0] == p.r else rep),
             modmath.ModulusSet.from_moduli(aux.bsk))
         return Spmd2DMultContext(base=base, mc=mc, cnt_bsk=cnt_bsk,
-                                 ms_bsk=ms_bsk)
+                                 ms_bsk=ms_bsk, conv_impl=conv_impl)
 
     # -- plumbing -----------------------------------------------------------
 
@@ -335,6 +354,8 @@ class Spmd2DMultContext:
     def _mul_program(self, ct_a, ct_b):
         p, r, k, n, R, C, rl, S = self._geom()
         interp = self.base.interpret
+        use_pl = self.conv_impl != "xla"
+        conv_interp = self.conv_impl == "pallas-interpret"
         make = self._transforms(interp, n, C, S)
         tq_specs = self.base._table_specs()
         tb_specs = self._bsk_table_specs()
@@ -345,14 +366,20 @@ class Spmd2DMultContext:
             ci = jax.lax.axis_index(COEF_AXIS)
             fwd_q, inv_q, inv_mul_q = make(tabs[:NT], ms)
             fwd_b, inv_b, inv_mul_b = make(tabs[NT:], msb)
-            bskq_loc = jax.lax.dynamic_slice_in_dim(mc.bsk_q_all, ri * rl,
-                                                    rl, axis=0)
-            bskqinv_loc = jax.lax.dynamic_slice_in_dim(
-                mc.bsk_qinv_all, ri * rl, rl, axis=0)
-            ab = _rns_to_bsk_shard(a_loc, mc, ri, rl, k, bskq_loc,
-                                   bskqinv_loc)
-            bb = _rns_to_bsk_shard(b_loc, mc, ri, rl, k, bskq_loc,
-                                   bskqinv_loc)
+            if use_pl:
+                ab = _rns_to_bsk_shard_pl(a_loc, mc.mpc, ri * rl, rl, k,
+                                          conv_interp)
+                bb = _rns_to_bsk_shard_pl(b_loc, mc.mpc, ri * rl, rl, k,
+                                          conv_interp)
+            else:
+                bskq_loc = jax.lax.dynamic_slice_in_dim(
+                    mc.bsk_q_all, ri * rl, rl, axis=0)
+                bskqinv_loc = jax.lax.dynamic_slice_in_dim(
+                    mc.bsk_qinv_all, ri * rl, rl, axis=0)
+                ab = _rns_to_bsk_shard(a_loc, mc, ri, rl, k, bskq_loc,
+                                       bskqinv_loc)
+                bb = _rns_to_bsk_shard(b_loc, mc, ri, rl, k, bskq_loc,
+                                       bskqinv_loc)
 
             def tensor(fa, fb, inv, inv_mul, ms_):
                 a0, a1 = fa[..., 0, :, :], fa[..., 1, :, :]
@@ -368,6 +395,11 @@ class Spmd2DMultContext:
                         inv_mul_q, ms)
             pb = tensor(fwd_b(ab, ci), fwd_b(bb, ci), inv_b, inv_mul_b,
                         msb)
+            if use_pl:
+                fl = _fast_floor_shard_pl(pq, pb, mc.mpc, ri * rl, rl, k,
+                                          conv_interp)
+                return _bsk_to_q_shard_pl(fl, mc.mpc, ri * rl, rl,
+                                          conv_interp)
             fl = _fast_floor_shard(pq, pb, mc, ri, rl, k, bskq_loc,
                                    bskqinv_loc)
             return _bsk_to_q_shard(fl, mc, ri, rl, k, ms.q, ms.qinv_neg)

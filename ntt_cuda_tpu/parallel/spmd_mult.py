@@ -40,7 +40,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import behz, bfv_tail, modmath, ntt, ntt_pallas, poly, sampling
+from ..ops import (behz, behz_pallas, bfv_tail, modmath, ntt, ntt_pallas,
+                   poly, sampling)
 from ..utils import hostmath as hm
 from .spmd import SpmdBFVContext
 
@@ -98,6 +99,9 @@ class SpmdMultConsts:
     ms_bsk: modmath.ModulusSet | None = None
     tables_bsk: ntt.NTTTables | None = None
     ftab_bsk: ntt_pallas.FourStepTables | None = None
+    # replicated u32 limb-pair banks for the single-pass Pallas
+    # conversion kernels (ops/behz_pallas.py) — None on the xla impl
+    mpc: behz_pallas.MultPallasConsts | None = None
 
     @staticmethod
     def host_build(params, aux: behz.AuxBase):
@@ -252,6 +256,29 @@ def _bsk_to_q_shard(x_loc, mc, idx, rl, k, q_loc, qinv_loc):
                      modmath.sub_mod(cq, corr, q_loc))
 
 
+def _rns_to_bsk_shard_pl(x_loc, mpc, row0, rl, k, interp):
+    """_rns_to_bsk_shard on the single-pass Pallas kernel: same gather,
+    the shard's rl-row Bsk band from behz_pallas.rns_to_bsk_rows.
+    Works for any coefficient-axis width that is a multiple of 128
+    (the conversions are coefficient-elementwise)."""
+    x_all = jax.lax.all_gather(x_loc, "rns", axis=-2, tiled=True)
+    xq = jax.lax.slice_in_dim(x_all, 0, k, axis=-2)      # drop the pad row
+    return behz_pallas.rns_to_bsk_rows(xq, mpc, row0, rl, interpret=interp)
+
+
+def _fast_floor_shard_pl(pq_loc, pb_loc, mpc, row0, rl, k, interp):
+    pq_all = jax.lax.all_gather(pq_loc, "rns", axis=-2, tiled=True)
+    pq_k = jax.lax.slice_in_dim(pq_all, 0, k, axis=-2)
+    return behz_pallas.fast_floor_rows(pq_k, pb_loc, mpc, row0, rl,
+                                       interpret=interp)
+
+
+def _bsk_to_q_shard_pl(fl_loc, mpc, row0, rl, interp):
+    fl_all = jax.lax.all_gather(fl_loc, "rns", axis=-2, tiled=True)
+    return behz_pallas.bsk_to_q_rows(fl_all, mpc, row0, rl,
+                                     interpret=interp)
+
+
 def _keyswitch_shard(c2_loc, ksk_loc, ms, mc, idx, rl, r, k, fwd, inv):
     """Key-switch one polynomial through k switching keys, shard-local:
     gather the digit rows over 'rns', transform + accumulate against the
@@ -330,6 +357,10 @@ class SpmdMultContext:
             ftab_bsk=(jax.tree.map(
                 place, ntt_pallas.FourStepTables.build(
                     aux.bsk, aux.bsk_psi, p.n)) if use_pallas else None),
+            # single-pass conversion kernel banks (replicated — each
+            # shard's band of target rows is dynamic-sliced in-program)
+            mpc=(jax.device_put(behz_pallas.MultPallasConsts.build(p, aux),
+                                rep) if use_pallas else None),
         )
         tables_q = (None if use_pallas else jax.tree.map(
             place, ntt.NTTTables.build(p.q, p.psi, p.n)))
@@ -561,18 +592,29 @@ class SpmdMultContext:
         mc_spec, tq_spec = self._mc_specs()
         ms_spec, ftab_spec, _, _ = self.base._specs()
         fwd, inv, inv_mul, _ = self._ops()
-
+        use_pl = self.ntt_impl != "xla"
+        interp = self.ntt_impl == "pallas-interpret"
 
         def body(a_loc, b_loc, ms, ftab, mc, tq):
             idx = jax.lax.axis_index("rns")
-            bskq_loc = jax.lax.dynamic_slice_in_dim(mc.bsk_q_all, idx * rl,
-                                                    rl, axis=0)
-            bskqinv_loc = jax.lax.dynamic_slice_in_dim(
-                mc.bsk_qinv_all, idx * rl, rl, axis=0)
-            ab = _rns_to_bsk_shard(a_loc, mc, idx, rl, k,
-                                         bskq_loc, bskqinv_loc)
-            bb = _rns_to_bsk_shard(b_loc, mc, idx, rl, k,
-                                         bskq_loc, bskqinv_loc)
+            if use_pl:
+                # single-pass Pallas conversions (ops/behz_pallas.py) on
+                # this shard's target-row band; same 4-all_gather
+                # collective structure as the XLA chains below
+                row0 = idx * rl
+                ab = _rns_to_bsk_shard_pl(a_loc, mc.mpc, row0, rl, k,
+                                          interp)
+                bb = _rns_to_bsk_shard_pl(b_loc, mc.mpc, row0, rl, k,
+                                          interp)
+            else:
+                bskq_loc = jax.lax.dynamic_slice_in_dim(
+                    mc.bsk_q_all, idx * rl, rl, axis=0)
+                bskqinv_loc = jax.lax.dynamic_slice_in_dim(
+                    mc.bsk_qinv_all, idx * rl, rl, axis=0)
+                ab = _rns_to_bsk_shard(a_loc, mc, idx, rl, k,
+                                       bskq_loc, bskqinv_loc)
+                bb = _rns_to_bsk_shard(b_loc, mc, idx, rl, k,
+                                       bskq_loc, bskqinv_loc)
             fa_q = fwd(a_loc, ftab, tq, ms)
             fb_q = fwd(b_loc, ftab, tq, ms)
             fa_b = fwd(ab, mc.ftab_bsk, mc.tables_bsk, mc.ms_bsk)
@@ -590,10 +632,15 @@ class SpmdMultContext:
 
             pq = tensor(fa_q, fb_q, ftab, tq, ms)
             pb = tensor(fa_b, fb_b, mc.ftab_bsk, mc.tables_bsk, mc.ms_bsk)
+            if use_pl:
+                row0 = idx * rl
+                fl = _fast_floor_shard_pl(pq, pb, mc.mpc, row0, rl, k,
+                                          interp)
+                return _bsk_to_q_shard_pl(fl, mc.mpc, row0, rl, interp)
             fl = _fast_floor_shard(pq, pb, mc, idx, rl, k,
-                                         bskq_loc, bskqinv_loc)
+                                   bskq_loc, bskqinv_loc)
             return _bsk_to_q_shard(fl, mc, idx, rl, k,
-                                         ms.q, ms.qinv_neg)
+                                   ms.q, ms.qinv_neg)
 
         fn = shard_map(body, mesh=self.base.mesh,
                        in_specs=(P(None, "rns", None), P(None, "rns", None),

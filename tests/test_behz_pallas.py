@@ -73,3 +73,34 @@ def test_scale_and_round_bitexact(setup, rng):
     got = np.asarray(behz_pallas.scale_and_round(xq, xb, mpc,
                                                  interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_row_sliced_variants_match_full(setup, rng):
+    """The shard-band wrappers (rows [row0, row0+rl)) reproduce the full
+    kernels row-for-row, incl. bsk_to_q_rows' zero pad row."""
+    p, mc, mpc = setup
+    k = p.r - 1
+    aux = behz.AuxBase.build(p)
+    xq = _rand_residues(rng, p.q[:-1], (2,), p.n)
+    xb = _rand_residues(rng, aux.bsk, (2,), p.n)
+
+    full_a = np.asarray(behz_pallas.rns_to_bsk(xq, mpc, interpret=True))
+    full_f = np.asarray(behz_pallas.fast_floor(xq, xb, mpc, interpret=True))
+    y = behz_pallas.fast_floor(xq, xb, mpc, interpret=True)
+    full_b = np.asarray(behz_pallas.bsk_to_q(y, mpc, interpret=True))
+
+    for row0, rl in [(0, 1), (k, 1), (0, k + 1)]:
+        got = np.asarray(behz_pallas.rns_to_bsk_rows(
+            xq, mpc, jnp.int32(row0), rl, interpret=True))
+        np.testing.assert_array_equal(got, full_a[..., row0:row0 + rl, :])
+        got = np.asarray(behz_pallas.fast_floor_rows(
+            xq, xb[..., row0:row0 + rl, :], mpc, jnp.int32(row0), rl,
+            interpret=True))
+        np.testing.assert_array_equal(got, full_f[..., row0:row0 + rl, :])
+        got = np.asarray(behz_pallas.bsk_to_q_rows(
+            y, mpc, jnp.int32(row0), rl, interpret=True))
+        want = np.zeros(got.shape, dtype=np.uint64)
+        lo = min(row0 + rl, k) - row0          # real rows in the band
+        if lo > 0:
+            want[..., :lo, :] = full_b[..., row0:row0 + lo, :]
+        np.testing.assert_array_equal(got, want)

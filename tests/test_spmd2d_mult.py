@@ -77,3 +77,17 @@ def test_2d_galois_bitexact(setup):
     out_s = np.asarray(mctx.apply_galois(p1, g, gks_s[g]))
     out_ref = np.asarray(ref.apply_galois(ct1, g, gks_ref[g]))
     np.testing.assert_array_equal(out_s[:, : params.r - 1], out_ref)
+
+
+def test_2d_mul_pallas_conversions_bitexact(setup):
+    """conv_impl="pallas-interpret": the row-sliced conversion kernels
+    on the 2-D mesh (coefficient-elementwise, so the coef axis adds no
+    conversion traffic) — bit-identical to the single-chip mul."""
+    params, ref, sk, rlk, m1, m2, ct1, ct2, mctx = setup
+    mctx_pl = spmd2d_mult.Spmd2DMultContext.build(
+        mctx.base, conv_impl="pallas-interpret")
+    p1 = serialize.pad_ciphertext(ct1, params)
+    p2 = serialize.pad_ciphertext(ct2, params)
+    ct3_s = np.asarray(mctx_pl.mul(p1, p2))
+    ct3_ref = np.asarray(ref.mul(ct1, ct2))
+    np.testing.assert_array_equal(ct3_s[:, : params.r - 1], ct3_ref)

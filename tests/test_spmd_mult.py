@@ -129,3 +129,23 @@ def test_spmd_add_sub(setup):
     d = np.asarray(base.sub(p1, p2))
     np.testing.assert_array_equal(d[:, : params.r - 1],
                                   np.asarray(ref.sub(ct1, ct2)))
+
+
+def test_spmd_mul_pallas_conversions_bitexact(setup):
+    """The single-pass Pallas conversion kernels (behz_pallas *_rows
+    variants) on the sharded path: bit-identical to the single-chip mul
+    and to the XLA shard chains, same 4-all_gather structure."""
+    params, ref, sk, rlk, m1, m2, ct1, ct2 = setup
+    base = spmd.SpmdBFVContext.build(params, devices=jax.devices()[:2],
+                                     interpret=True)
+    mctx = spmd_mult.SpmdMultContext.build(base,
+                                           ntt_impl="pallas-interpret")
+    p1 = serialize.pad_ciphertext(ct1, params)
+    p2 = serialize.pad_ciphertext(ct2, params)
+    ct3_ref = np.asarray(ref.mul(ct1, ct2))
+    ct3_s = np.asarray(mctx.mul(p1, p2))
+    np.testing.assert_array_equal(ct3_s[:, : params.r - 1], ct3_ref)
+    txt = mctx.lowered_mul(jnp.asarray(p1), jnp.asarray(p2)) \
+        .compile().as_text()
+    n_gather = txt.count("all-gather(") + txt.count("all-gather-start(")
+    assert n_gather == 4, n_gather
