@@ -60,6 +60,12 @@ class ShardedBFVContext:
             # to the partitionable path; pass backend="pallas" to override.
             backend = "xla"
         ctx = bfv.BFVContext.build(params, backend=backend)
+        return ShardedBFVContext._wrap(ctx, mesh)
+
+    @staticmethod
+    def _wrap(ctx: bfv.BFVContext, mesh: Mesh) -> "ShardedBFVContext":
+        """Reshard an existing single-chip context's bundles over 'rns'."""
+        params = ctx.params
         rns = mesh_mod.RNS_AXIS
         rns_size = mesh.shape[rns]
         const = NamedSharding(mesh, P(rns, None))
@@ -165,3 +171,47 @@ class ShardedBFVContext:
         return self.inner.apply_galois(
             jax.device_put(ct, self.ct_sharding()), g,
             jax.device_put(gk, self.rlk_sharding()))
+
+    def square(self, ct, rlk=None):
+        """EvalSquare under GSPMD (half of mul's forwards, same BEHZ
+        collectives)."""
+        if rlk is not None:
+            rlk = jax.device_put(rlk, self.rlk_sharding())
+        return self.inner.square(jax.device_put(ct, self.ct_sharding()),
+                                 rlk=rlk)
+
+    def add_plain(self, ct, m_poly):
+        """ct + Delta*m: elementwise on the c0 shards, zero collectives."""
+        return self.inner.add_plain(
+            jax.device_put(ct, self.ct_sharding()), m_poly)
+
+    def mul_plain(self, ct, m_poly):
+        """Negacyclic plaintext multiply: per-modulus transforms stay
+        shard-local (the plaintext forward replicates)."""
+        return self.inner.mul_plain(
+            jax.device_put(ct, self.ct_sharding()), m_poly)
+
+    def encrypt_batch(self, pk, m_batch, nonces):
+        return self.inner.encrypt_batch(pk, m_batch, nonces)
+
+    def decrypt_batch(self, sk, cts):
+        return self.inner.decrypt_batch(
+            jax.device_put(sk, self.key_sharding())
+            [: self.inner.params.r - 1],
+            jax.device_put(cts, NamedSharding(
+                self.mesh, P(None, *self.ct_sharding().spec))))
+
+    def next_context(self) -> "ShardedBFVContext":
+        """The context one modulus-switch down, on the same mesh (the
+        level's own r/r-1 divisibility decides which bundles shard;
+        reuses the inner context's cached next level)."""
+        return ShardedBFVContext._wrap(self.inner.next_context(),
+                                       self.mesh)
+
+    def mod_switch_to_next(self, ct):
+        """Modulus switch under GSPMD.  The row count changes r-1 ->
+        r-2, so the result is placed with the NEXT level's ciphertext
+        sharding (replicated when r-2 doesn't divide the axis)."""
+        out = self.inner.mod_switch_to_next(
+            jax.device_put(ct, self.ct_sharding()))
+        return jax.device_put(out, self.next_context().ct_sharding())

@@ -199,3 +199,39 @@ def test_rns_sharded_add_sub_galois(rng):
     np.testing.assert_array_equal(
         np.asarray(sctx.apply_galois(ct1, g, gks_s[g])),
         np.asarray(ctx.apply_galois(ct1, g, gks[g])))
+
+
+def test_rns_sharded_square_plain_modswitch(rng):
+    """The remaining GSPMD delegates: square, add_plain/mul_plain,
+    mod_switch_to_next + next_context — bit-identical to single-chip."""
+    p = get_bfv_params("8k_4q")
+    ctx = bfv.BFVContext.build(p)
+    sk, pk = ctx.keygen()
+    m1 = rng.integers(0, p.t, p.n, dtype=np.uint64)
+    ct1 = ctx.encrypt(pk, jnp.asarray(m1), nonce=1)
+    rlk = ctx.relin_keygen(sk)
+
+    mesh = mesh_mod.make_mesh(rns=2, coef=4)
+    sctx = rns_mod.ShardedBFVContext.build(p, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(sctx.square(ct1, rlk=rlk)),
+        np.asarray(ctx.square(ct1, rlk=rlk)))
+    np.testing.assert_array_equal(
+        np.asarray(sctx.add_plain(ct1, jnp.asarray(m1))),
+        np.asarray(ctx.add_plain(ct1, jnp.asarray(m1))))
+    np.testing.assert_array_equal(
+        np.asarray(sctx.mul_plain(ct1, jnp.asarray(m1))),
+        np.asarray(ctx.mul_plain(ct1, jnp.asarray(m1))))
+    ct_l = sctx.mod_switch_to_next(ct1)
+    np.testing.assert_array_equal(np.asarray(ct_l),
+                                  np.asarray(ctx.mod_switch_to_next(ct1)))
+    out = sctx.next_context().decrypt(sk[: p.r - 1], ct_l)
+    np.testing.assert_array_equal(np.asarray(out), m1)
+    # batched delegates
+    nonces = jnp.asarray([7, 8], dtype=jnp.uint64)
+    mb = jnp.stack([jnp.asarray(m1), jnp.asarray(m1)])
+    cts = sctx.encrypt_batch(pk, mb, nonces)
+    np.testing.assert_array_equal(
+        np.asarray(cts), np.asarray(ctx.encrypt_batch(pk, mb, nonces)))
+    np.testing.assert_array_equal(
+        np.asarray(sctx.decrypt_batch(sk, cts)), np.asarray(mb))
