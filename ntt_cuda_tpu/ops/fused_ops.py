@@ -719,3 +719,114 @@ def keyswitch_fused(c2, ksk, ftab, consts: TailConsts, nub,
     c1 = limb32.from_pair((o1l, o1h)).reshape(J, r - 1, n)
     out = jnp.stack([c0, c1], axis=1)      # (J, 2, r-1, n)
     return out[0] if single else out
+
+def _make_keyswitch_front_kernel(k: int, n1: int, interpret: bool):
+    """keyswitch_fused WITHOUT the divide_and_round_q_last tail, over an
+    arbitrary band of modulus rows (grid (J, band)): k digit reductions
+    + k forward chains + dyadic-accumulate against both key rows + 2
+    inverse chains, emitting the canonical accumulated pair.  The
+    sharded key switch (parallel/spmd_mult._keyswitch_shard) runs this
+    per shard row band; the modulus drop needs a cross-shard psum so it
+    stays in the shard program."""
+    def kernel(nub_ref, qc_ref, c2l_ref, c2h_ref, kl_ref, kh_ref,
+               ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
+               o0l_ref, o0h_ref, o1l_ref, o1h_ref):
+        m = pl.program_id(1)
+        qq, two_q, four_q, qinv = _qvals(qc_ref, m)
+        nu = (nub_ref[m, 0], nub_ref[m, 1])
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+
+        acc0 = acc1 = None
+        for j in range(k):
+            d = _mod_u64((c2l_ref[0, j], c2h_ref[0, j]), qq, nu)
+            dh = _fwd_chain(d, ta_ref, tc_ref, tb_ref, qq, two_q, four_q,
+                            n1, row, lane, interpret)
+            t0 = limb32.reduce_once(limb32.mont_mul_lazy(
+                dh, (kl_ref[0, j], kh_ref[0, j]), qq, qinv), qq)
+            t1 = limb32.reduce_once(limb32.mont_mul_lazy(
+                dh, (kl_ref[0, k + j], kh_ref[0, k + j]), qq, qinv), qq)
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                acc0 = limb32.reduce_once(limb32.add64(acc0, t0), qq)
+                acc1 = limb32.reduce_once(limb32.add64(acc1, t1), qq)
+            if interpret:
+                acc0, acc1 = jax.lax.optimization_barrier((acc0, acc1))
+
+        def inv_chain(x):
+            x = ntp._stage_b_inv(x, tbi_ref.at[0], qq, four_q, lane,
+                                 interpret)
+            x = ntp._elementwise_fix(x, tcir_ref.at[0], qq)
+            x = ntp._stage_a_inv(x, tai_ref.at[0], qq, four_q, n1, row,
+                                 interpret)
+            return ntp._normalize(x, qq, two_q)
+
+        cc0 = inv_chain(acc0)
+        cc1 = inv_chain(acc1)
+        o0l_ref[0] = cc0[0]
+        o0h_ref[0] = cc0[1]
+        o1l_ref[0] = cc1[0]
+        o1h_ref[0] = cc1[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def keyswitch_front_fused(c2, ksk_rows, ftab_rows, nub_rows,
+                          interpret: bool = False):
+    """(..., k, n) digit source + (2, k, RL, n) switching-key rows over a
+    band of RL modulus rows (with that band's ftab/nub slices) ->
+    (..., 2, RL, n) canonical key-switch accumulators (the Montgomery
+    dyadic skew is corrected by tcir, as in keyswitch_fused).
+    Bit-identical to the unfused fwd + dyadic-acc + inverse pipeline on
+    the same rows (tests/test_fused_ops.py)."""
+    single = c2.ndim == 2
+    if single:
+        c2 = c2[None]
+    J, k, n = c2.shape
+    RL = ksk_rows.shape[2]
+    n1 = n // N2
+    LA = (n1.bit_length() - 1) * n1
+    cl, ch = limb32.to_pair(c2.reshape(J, k, n1, N2))
+    kt = jnp.moveaxis(ksk_rows, 2, 0).reshape(RL, 2 * k, n1, N2)
+    ktl, kth = limb32.to_pair(kt)
+
+    z = np.int32(0)
+    rl32 = np.int32(RL)
+    cmap = lambda j, m, nb, qc: (j, z, z, z)
+    kmap = lambda j, m, nb, qc: (m, z, z, z)
+    tmap = lambda j, m, nb, qc: (m, z, z, z)
+    omap = lambda j, m, nb, qc: (j * rl32 + m, z, z)
+    cs = pl.BlockSpec((1, k, n1, N2), cmap, memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, 2 * k, n1, N2), kmap, memory_space=pltpu.VMEM)
+    bs = pl.BlockSpec((1, n1, N2), omap, memory_space=pltpu.VMEM)
+    ts = lambda rows: pl.BlockSpec((1, 4, rows, N2), tmap,
+                                   memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # nub, qconst
+        grid=(J, RL),
+        in_specs=[cs, cs, ks, ks,
+                  ts(LA), ts(n1), ts(8), ts(LA), ts(n1), ts(8)],
+        out_specs=[bs] * 4,
+        scratch_shapes=[],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    o0l, o0h, o1l, o1h = pl.pallas_call(
+        _make_keyswitch_front_kernel(k, n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((J * RL, n1, N2), jnp.uint32)] * 4,
+        interpret=interpret,
+        **kwargs,
+    )(nub_rows, ftab_rows.qconst, cl, ch, ktl, kth,
+      ftab_rows.ta, ftab_rows.tc, ftab_rows.tb,
+      ftab_rows.tai, ftab_rows.tcir, ftab_rows.tbi)
+    if interpret:
+        o0l, o0h, o1l, o1h = jax.lax.optimization_barrier(
+            (o0l, o0h, o1l, o1h))
+    c0 = limb32.from_pair((o0l, o0h)).reshape(J, RL, n)
+    c1 = limb32.from_pair((o1l, o1h)).reshape(J, RL, n)
+    out = jnp.stack([c0, c1], axis=1)      # (J, 2, RL, n)
+    return out[0] if single else out

@@ -40,8 +40,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import (behz, behz_pallas, bfv_tail, modmath, ntt, ntt_pallas,
-                   poly, sampling)
+from ..ops import (behz, behz_pallas, bfv_tail, fused_ops, modmath, ntt,
+                   ntt_pallas, poly, sampling)
 from ..utils import hostmath as hm
 from .spmd import SpmdBFVContext
 
@@ -256,6 +256,23 @@ def _bsk_to_q_shard(x_loc, mc, idx, rl, k, q_loc, qinv_loc):
                      modmath.sub_mod(cq, corr, q_loc))
 
 
+def _nub_from_ms(ms):
+    """(rl, 2) u32 floor(2^64/q_i) limb pairs from the shard's modulus
+    bundle (keyswitch_front_fused's digit-reduction bank)."""
+    nu = ms.nu[:, 0]
+    return jnp.stack([(nu & U64(0xFFFFFFFF)).astype(jnp.uint32),
+                      (nu >> U64(32)).astype(jnp.uint32)], axis=1)
+
+
+def _ks_front(ms, ftab, interp):
+    """The whole key-switch front (digits + k forwards + dyadic-acc + 2
+    inverses) as ONE twiddle-resident kernel over this shard's modulus
+    rows (fused_ops.keyswitch_front_fused) — for _keyswitch_shard's
+    `front` hook on the pallas impls."""
+    return lambda c2a, ksk_loc: fused_ops.keyswitch_front_fused(
+        c2a, ksk_loc, ftab, _nub_from_ms(ms), interpret=interp)
+
+
 def _rns_to_bsk_shard_pl(x_loc, mpc, row0, rl, k, interp):
     """_rns_to_bsk_shard on the single-pass Pallas kernel: same gather,
     the shard's rl-row Bsk band from behz_pallas.rns_to_bsk_rows.
@@ -279,25 +296,35 @@ def _bsk_to_q_shard_pl(fl_loc, mpc, row0, rl, interp):
                                      interpret=interp)
 
 
-def _keyswitch_shard(c2_loc, ksk_loc, ms, mc, idx, rl, r, k, fwd, inv):
+def _keyswitch_shard(c2_loc, ksk_loc, ms, mc, idx, rl, r, k, fwd, inv,
+                     front=None):
     """Key-switch one polynomial through k switching keys, shard-local:
     gather the digit rows over 'rns', transform + accumulate against the
     local key rows, then divide_and_round_q_last with the owner shard
     broadcasting the adjusted last residue (one psum — the same
-    collective as encryption's modulus drop).  Returns (2, rl, n)."""
+    collective as encryption's modulus drop).  Returns (2, rl, n).
+
+    `front`: optional (c2_all, ksk_loc) -> (2, rl, n) replacement for
+    the digit+forward+dyadic-accumulate+inverse front — the pallas impls
+    pass fused_ops.keyswitch_front_fused so the whole front is one
+    twiddle-resident kernel per local modulus (the digit tensor and
+    accumulator chains never touch HBM)."""
     gidx = idx * rl + jnp.arange(rl)
     c2_all = jax.lax.all_gather(c2_loc, "rns", axis=-2, tiled=True)
-    d = jnp.stack([
-        modmath.mod_u64(c2_all[j][None, :], ms.q, ms.nu)
-        for j in range(k)])                        # (k, rl, n)
-    dhat = fwd(d)
-    acc0 = acc1 = None
-    for j in range(k):
-        t0 = ntt.dyadic_mul(dhat[j], ksk_loc[0, j], ms)
-        t1 = ntt.dyadic_mul(dhat[j], ksk_loc[1, j], ms)
-        acc0 = t0 if acc0 is None else modmath.add_mod(acc0, t0, ms.q)
-        acc1 = t1 if acc1 is None else modmath.add_mod(acc1, t1, ms.q)
-    cc = inv(jnp.stack([acc0, acc1]))              # (2, rl, n)
+    if front is not None:
+        cc = front(jax.lax.slice_in_dim(c2_all, 0, k, axis=-2), ksk_loc)
+    else:
+        d = jnp.stack([
+            modmath.mod_u64(c2_all[j][None, :], ms.q, ms.nu)
+            for j in range(k)])                    # (k, rl, n)
+        dhat = fwd(d)
+        acc0 = acc1 = None
+        for j in range(k):
+            t0 = ntt.dyadic_mul(dhat[j], ksk_loc[0, j], ms)
+            t1 = ntt.dyadic_mul(dhat[j], ksk_loc[1, j], ms)
+            acc0 = t0 if acc0 is None else modmath.add_mod(acc0, t0, ms.q)
+            acc1 = t1 if acc1 is None else modmath.add_mod(acc1, t1, ms.q)
+        cc = inv(jnp.stack([acc0, acc1]))          # (2, rl, n)
     own = (gidx == r - 1)[:, None]
     ra = jnp.sum(jnp.where(own, cc, U64(0)), axis=-2)  # (2, n)
     ra = jax.lax.psum(ra, "rns")
@@ -551,6 +578,8 @@ class SpmdMultContext:
         mc_spec, tq_spec = self._mc_specs()
         ms_spec, ftab_spec, _, _ = self.base._specs()
         fwd, inv, inv_mul, _ = self._ops()
+        use_pl = self.ntt_impl != "xla"
+        interp = self.ntt_impl == "pallas-interpret"
 
         def body(ct_loc, gk_loc, perm_, neg_, ms, ftab, mc, tq):
             idx = jax.lax.axis_index("rns")
@@ -558,7 +587,8 @@ class SpmdMultContext:
             cc = _keyswitch_shard(
                 tc[1], gk_loc, ms, mc, idx, rl, r, k,
                 lambda x: fwd(x, ftab, tq, ms),
-                lambda x: inv(x, ftab, tq, ms))
+                lambda x: inv(x, ftab, tq, ms),
+                front=_ks_front(ms, ftab, interp) if use_pl else None)
             c0 = modmath.add_mod(tc[0], cc[0], ms.q)
             return jnp.stack([c0, cc[1]])
 
@@ -703,13 +733,16 @@ class SpmdMultContext:
         mc_spec, tq_spec = self._mc_specs()
         ms_spec, ftab_spec, _, _ = self.base._specs()
         fwd, inv, inv_mul, _ = self._ops()
+        use_pl = self.ntt_impl != "xla"
+        interp = self.ntt_impl == "pallas-interpret"
 
         def body(ct3_loc, rlk_loc, ms, ftab, mc, tq):
             idx = jax.lax.axis_index("rns")
             cc = _keyswitch_shard(
                 ct3_loc[2], rlk_loc, ms, mc, idx, rl, r, k,
                 lambda x: fwd(x, ftab, tq, ms),
-                lambda x: inv(x, ftab, tq, ms))
+                lambda x: inv(x, ftab, tq, ms),
+                front=_ks_front(ms, ftab, interp) if use_pl else None)
             return modmath.add_mod(ct3_loc[:2], cc, ms.q)
 
         fn = shard_map(body, mesh=self.base.mesh,

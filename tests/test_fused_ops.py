@@ -249,3 +249,45 @@ def test_reserved_nonce_bit_rejected(p4k):
         ctx.encrypt(pk_shape, m, nonce=2**63 + 1)
     with pytest.raises(ValueError, match="bit 63"):
         ctx.encrypt_batch(pk_shape, m[None, :], [2**63 + 1])
+
+
+def test_keyswitch_front_fused_bitexact(p4k, ftab4k, rng):
+    """keyswitch_front_fused on a row band == the unfused fwd +
+    dyadic-accumulate + inverse composition on the same rows (the
+    sharded key switch's per-shard front)."""
+    import jax
+    p = p4k
+    k, n, r = p.r - 1, p.n, p.r
+    ms = modmath.ModulusSet.from_moduli(p.q)
+    c2 = _rand_res(rng, p.q[:-1], n)                      # (k, n)
+    ksk = jnp.asarray(np.stack([
+        np.stack([np.stack([rng.integers(0, q, n, dtype=np.uint64)
+                            for q in p.q]) for _ in range(k)])
+        for _ in range(2)]))                              # (2, k, r, n)
+
+    from ntt_cuda_tpu.ops import ntt
+    for row0, rl in [(0, r), (0, 2), (r - 1, 1)]:
+        band = slice(row0, row0 + rl)
+        ftab_b = jax.tree.map(lambda x: x[band], ftab4k)
+        nub_b = jnp.asarray(np.array(
+            [((1 << 64) // int(q) & 0xFFFFFFFF,
+              ((1 << 64) // int(q)) >> 32) for q in p.q[band]],
+            dtype=np.uint32))
+        ms_b = modmath.ModulusSet.from_moduli(p.q[band])
+        got = fused_ops.keyswitch_front_fused(
+            c2, ksk[:, :, band], ftab_b, nub_b, interpret=True)
+
+        d = jnp.stack([modmath.mod_u64(c2[j][None, :], ms_b.q, ms_b.nu)
+                       for j in range(k)])                # (k, rl, n)
+        dhat = ntt_pallas.ntt_forward(d, ftab_b, interpret=True)
+        acc0 = acc1 = None
+        for j in range(k):
+            t0 = ntt.dyadic_mul(dhat[j], ksk[0, j, band], ms_b)
+            t1 = ntt.dyadic_mul(dhat[j], ksk[1, j, band], ms_b)
+            acc0 = t0 if acc0 is None else modmath.add_mod(acc0, t0,
+                                                           ms_b.q)
+            acc1 = t1 if acc1 is None else modmath.add_mod(acc1, t1,
+                                                           ms_b.q)
+        ref = ntt_pallas.ntt_inverse(jnp.stack([acc0, acc1]), ftab_b,
+                                     interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -149,3 +149,10 @@ def test_spmd_mul_pallas_conversions_bitexact(setup):
         .compile().as_text()
     n_gather = txt.count("all-gather(") + txt.count("all-gather-start(")
     assert n_gather == 4, n_gather
+    # relinearize through the fused key-switch front
+    # (fused_ops.keyswitch_front_fused per shard)
+    rel_ref = np.asarray(ref.relinearize(jnp.asarray(ct3_ref),
+                                         jnp.asarray(rlk)))
+    rel_s = np.asarray(mctx.relinearize(jnp.asarray(ct3_s),
+                                        jnp.asarray(rlk)))
+    np.testing.assert_array_equal(rel_s[:, : params.r - 1], rel_ref)
