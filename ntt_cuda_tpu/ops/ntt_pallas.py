@@ -312,19 +312,26 @@ def _stage_a_fwd(x, ta_ref, q, four_q, n1, row, interpret):
     v element (selected per row); u rows keep x, v rows use the partner.
     Mosaic compiles the rotates at full speed where the textbook
     (m, 2, d) reshape-interleave form is movement-bound (module
-    docstring)."""
+    docstring).
+
+    One-sided form: instead of materializing both butterfly results
+    (u+t and u+4q-t) and selecting, the u operand and the signed twiddle
+    term are each selected first and ONE add64+reduce_once finishes the
+    stage — bit-identical values (exact mod-2^64 limb arithmetic is
+    associative; t < 3q so 4q-t never borrows; u+tt < 8q < 2^64),
+    one add64 + one reduce_once fewer per stage per element."""
     L1 = n1.bit_length() - 1
     for s in range(L1):
         d = n1 >> (s + 1)
         u_mask = (row & U32(d)) == 0
-        p = _partner_rows(x, d, n1, u_mask, interpret)
-        v_val = limb32.select64(u_mask, p, x)
+        rv = tuple(_roll_rows(v, n1 - d, interpret) for v in x)  # x[i+d]
+        ru = tuple(_roll_rows(v, d, interpret) for v in x)       # x[i-d]
+        v_val = limb32.select64(u_mask, rv, x)
+        u_val = limb32.select64(u_mask, x, ru)
         w, wp = _stage_rows(ta_ref, s, n1)
         t = limb32.shoup_mulmod_lazy4(v_val, w, wp, q)
-        res_u = limb32.reduce_once(limb32.add64(x, t), four_q)
-        res_v = limb32.reduce_once(
-            limb32.sub64(limb32.add64(p, four_q), t), four_q)
-        x = limb32.select64(u_mask, res_u, res_v)
+        tt = limb32.select64(u_mask, t, limb32.sub64(four_q, t))
+        x = limb32.reduce_once(limb32.add64(u_val, tt), four_q)
         if interpret:
             # XLA:CPU's fusion pass degenerates (hours) on the composed
             # roll/select chains; barriers keep interpret-mode tests fast.
@@ -358,18 +365,19 @@ def _lane_partner(x, step, u_mask, interpret):
 
 
 def _stage_b_fwd(x, tb_ref, q, four_q, lane, interpret):
+    # one-sided butterfly form: see _stage_a_fwd (bit-identical)
     for s in range(L2):
         step = (N2 // 2) >> s
         u_mask = (lane & step) == 0
-        p = _lane_partner(x, step, u_mask, interpret)
-        v_val = limb32.select64(u_mask, p, x)
+        rv = tuple(_roll(v, N2 - step, interpret) for v in x)  # x[i+step]
+        ru = tuple(_roll(v, step, interpret) for v in x)       # x[i-step]
+        v_val = limb32.select64(u_mask, rv, x)
+        u_val = limb32.select64(u_mask, x, ru)
         w = (tb_ref[0, s:s + 1, :], tb_ref[1, s:s + 1, :])
         wp = (tb_ref[2, s:s + 1, :], tb_ref[3, s:s + 1, :])
         t = limb32.shoup_mulmod_lazy4(v_val, w, wp, q)
-        res_u = limb32.reduce_once(limb32.add64(x, t), four_q)
-        res_v = limb32.reduce_once(
-            limb32.sub64(limb32.add64(p, four_q), t), four_q)
-        x = limb32.select64(u_mask, res_u, res_v)
+        tt = limb32.select64(u_mask, t, limb32.sub64(four_q, t))
+        x = limb32.reduce_once(limb32.add64(u_val, tt), four_q)
     return x
 
 
