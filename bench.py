@@ -57,8 +57,12 @@ BASELINE_BFV_US = {
 }
 # Arithmetic-derived single-v5e VPU speed-of-light floors (us):
 # (keygen, encrypt, decrypt) — transform count x ~11 us/transform at
-# n=2^15 + draw/tail work (README "roofline" section, commit 3bb0aec)
+# n=2^15 (~5.5 us at 2^14: half the lanes, 14/15 stage passes) + draw/
+# tail work (README "roofline" section, commit 3bb0aec).  At 16k the
+# floor sits BELOW the V100 on all three ops — the residual encrypt gap
+# is kernel-at-~1.4x-roofline, not architecture (NOTES r4 session 3).
 ROOFLINE_FLOOR_US = {
+    "16k_5q": (90.0, 97.0, 55.0),
     "32k_9q": (300.0, 300.0, 195.0),
     "32k_16q": (530.0, 540.0, 350.0),
 }

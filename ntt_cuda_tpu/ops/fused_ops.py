@@ -379,7 +379,7 @@ def _make_enc_kernel(fix_th: int, r: int, n1: int, interpret: bool):
     def kernel(pm_ref, gl_ref, qc_ref, ub_ref, pkl_ref, pkh_ref,
                ed_ref, ml_ref, mh_ref,
                ta_ref, tc_ref, tb_ref, tai_ref, tcir_ref, tbi_ref,
-               o0l_ref, o0h_ref, o1l_ref, o1h_ref,
+               ol_ref, oh_ref,
                un_l, un_h, ra_l, ra_h):
         m_step = pl.program_id(0)
         j = pl.program_id(1)
@@ -442,22 +442,24 @@ def _make_enc_kernel(fix_th: int, r: int, n1: int, interpret: bool):
             out = limb32.mont_mul_lazy(v, invq_mont, q, qinv_k)
             out = limb32.reduce_once(out, q)
 
+            # weird_m_stuff on half 0 only (bfv_encryption.cuh:193-213);
+            # both halves land in ONE output array indexed (j, h, ki) so
+            # the caller needs no jnp.stack pass (an HBM copy per ct)
             @pl.when(h == 0)
             def _c0():
-                # weird_m_stuff on half 0 only (bfv_encryption.cuh:193-213)
                 mw = (ml_ref[0], mh_ref[0])
                 fix = ((mw[0] >= U32(fix_th)).astype(U32),
                        jnp.zeros_like(mw[1]))
                 dm = limb32.mullo64(mw, qi_div_t)
                 withm = limb32.add64(limb32.add64(out, dm), fix)
                 withm = _mod_u64(withm, q, nu)
-                o0l_ref[0] = withm[0]
-                o0h_ref[0] = withm[1]
+                ol_ref[0] = withm[0]
+                oh_ref[0] = withm[1]
 
             @pl.when(h == 1)
             def _c1():
-                o1l_ref[0] = out[0]
-                o1h_ref[0] = out[1]
+                ol_ref[0] = out[0]
+                oh_ref[0] = out[1]
     return kernel
 
 
@@ -515,15 +517,21 @@ def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
     pmap = lambda m, j, h, pm, gl, qc: (h * rr + res(m), z, z)
     emap = lambda m, j, h, pm, gl, qc: (j * np.int32(2) + h, z, z)
     mmap = lambda m, j, h, pm, gl, qc: (j, z, z)
-    # m-independent parking: the m=0 steps keep index 0 resident, which
-    # the m=1 write then overwrites in VMEM (no garbage flush to HBM)
-    # z (np.int32), NOT a python 0: under x64 a bare literal branch makes
-    # jnp.where emit a convert_element_type(i64->i32) in the index-map
-    # jaxpr, and Mosaic's _convert_helper recurses forever on 64-bit
-    # casts — this single literal was the round-3 "32k op schedule
-    # RecursionError" (tests/test_lowering.py guards the whole package)
+    # Both ciphertext halves land in ONE (J*2*(r-1) + 1)-block output,
+    # indexed (j, h, ki) — the caller assembles (J, 2, r-1, n) with a
+    # reshape instead of a jnp.stack HBM pass.  The m=0 steps (which
+    # produce only the ra scratch) park on the trailing DUMMY block:
+    # the index stays constant across them (at most one garbage flush)
+    # and every real block is written exactly once.
+    # nblk/z (np.int32), NOT python literals: under x64 a bare literal
+    # branch makes jnp.where emit a convert_element_type(i64->i32) in
+    # the index-map jaxpr, and Mosaic's _convert_helper recurses forever
+    # on 64-bit casts — one such literal was the round-3 "32k op
+    # schedule RecursionError" (tests/test_lowering.py guards this)
+    nblk = np.int32(J * 2 * (r - 1))
+    rk2 = np.int32(2 * (r - 1))
     omap = lambda m, j, h, pm, gl, qc: (
-        jnp.where(m == 0, z, j * rk + m - 1), z, z)
+        jnp.where(m == 0, nblk, j * rk2 + h * rk + m - 1), z, z)
     tmap = lambda m, j, h, pm, gl, qc: (res(m), z, z, z)
     bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
     ts = lambda rows, im: pl.BlockSpec((1, 4, rows, N2), im,
@@ -537,7 +545,7 @@ def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
                   bs(mmap), bs(mmap),
                   ts(LA, tmap), ts(n1, tmap), ts(8, tmap),
                   ts(LA, tmap), ts(n1, tmap), ts(8, tmap)],
-        out_specs=[bs(omap), bs(omap), bs(omap), bs(omap)],
+        out_specs=[bs(omap), bs(omap)],
         scratch_shapes=[pltpu.VMEM((n1, N2), jnp.uint32)] * 2
         + [pltpu.VMEM((J, 2, n1, N2), jnp.uint32)] * 2,
     )
@@ -545,21 +553,19 @@ def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
-    o0l, o0h, o1l, o1h = pl.pallas_call(
+    ol, oh = pl.pallas_call(
         _make_enc_kernel(consts.fix_th, r, n1, interpret),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((J * (r - 1), n1, N2),
-                                        jnp.uint32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((J * 2 * (r - 1) + 1, n1, N2),
+                                        jnp.uint32)] * 2,
         interpret=interpret,
         **kwargs,
     )(consts.per_mod, consts.glob, ftab.qconst, ub, pkl, pkh, ed,
       ml, mh, ftab.ta, ftab.tc, ftab.tb, ftab.tai, ftab.tcir, ftab.tbi)
     if interpret:
-        o0l, o0h, o1l, o1h = jax.lax.optimization_barrier(
-            (o0l, o0h, o1l, o1h))
-    c0 = limb32.from_pair((o0l, o0h)).reshape(J, r - 1, n)
-    c1 = limb32.from_pair((o1l, o1h)).reshape(J, r - 1, n)
-    ct = jnp.stack([c0, c1], axis=1)       # (J, 2, r-1, n)
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    nb = J * 2 * (r - 1)
+    ct = limb32.from_pair((ol[:nb], oh[:nb])).reshape(J, 2, r - 1, n)
     return ct[0] if single else ct
 
 
