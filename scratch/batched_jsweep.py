@@ -8,7 +8,10 @@ inner counts auto-scaled so the signal stays >= ~100 ms).
 
 Run on the real TPU:  python scratch/batched_jsweep.py [set ...]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

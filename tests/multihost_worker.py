@@ -11,6 +11,10 @@ must be bit-identical to the single-chip reference pipeline.
 import os
 import sys
 
+# Script-mode sys.path holds tests/, not the repo root: make the package
+# importable even when ntt_cuda_tpu isn't pip-installed on this machine.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 coordinator, num, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
 os.environ["JAX_PLATFORMS"] = "cpu"
