@@ -160,7 +160,8 @@ class BFVContext:
     def build(params: params_mod.BFVParams,
               backend: str | None = None,
               uniform_spec: str = "int",
-              fusion: str = "auto") -> "BFVContext":
+              fusion: str = "auto",
+              compact_a: bool | None = None) -> "BFVContext":
         """uniform_spec="fp64" makes keygen's uniform draw follow the
         reference's exact double-precision semantics (bfv_keygen.cuh:33-45,
         emulated bit-for-bit in integer arithmetic — ops/sampling.py
@@ -176,7 +177,15 @@ class BFVContext:
         2.1x, 88 vs 183 us — past the V100's 104 us), stage wins at
         n=32768 (the op kernels' ~9 MB/modulus fwd+inv table residency
         defeats Mosaic's grid pipelining there: 32k_9q keygen 815 vs
-        731 us)."""
+        731 us).
+
+        compact_a stores the Pallas stage-A twiddle tables un-expanded
+        ((4, n1, 128) planes, expanded per stage in-kernel) — 8x smaller
+        per-modulus table residency (~9 MB -> ~2.3 MB fwd+inv at
+        n=2^15) at ~4.3 us of expand work per stage-A pass.  Default
+        (None): expanded everywhere (the measured round-2 win for the
+        pipelined per-stage kernels).  Bit-identical outputs either
+        way."""
         if params.t % 2 == 0 and params.t & (params.t - 1):
             raise ValueError(
                 f"t={params.t} is neither a power of two (reference "
@@ -203,6 +212,7 @@ class BFVContext:
         if fusion not in ("op", "stage"):
             raise ValueError(f"unknown fusion {fusion!r}")
         use_pallas = backend != "xla"
+        compact_a = bool(compact_a) if compact_a is not None else False
         return BFVContext(
             uniform_spec=uniform_spec,
             fusion=fusion,
@@ -216,8 +226,10 @@ class BFVContext:
             msg_consts=poly.MessageConsts.build(params),
             dec_consts=poly.DecryptConsts.build(params),
             backend=backend,
-            ftab_full=ntt_pallas.tables_for(params) if use_pallas else None,
-            ftab_drop=(ntt_pallas.tables_for(params, params.r - 1)
+            ftab_full=(ntt_pallas.tables_for(params, compact_a=compact_a)
+                       if use_pallas else None),
+            ftab_drop=(ntt_pallas.tables_for(params, params.r - 1,
+                                             compact_a=compact_a)
                        if use_pallas else None),
             tail_consts=bfv_tail.TailConsts.build(params) if use_pallas else None,
             dec_tail_consts=(bfv_tail.DecTailConsts.build(params)

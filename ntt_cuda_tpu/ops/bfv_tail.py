@@ -511,7 +511,7 @@ def decrypt_fused(x_ntt, sk, ct0, ftab, consts: DecTailConsts,
     ntt_pallas.ntt_inverse_mul(x, sk) followed by decrypt_tail."""
     rk, n = x_ntt.shape
     n1 = n // N2
-    LA = (n1.bit_length() - 1) * n1
+    LA = int(ftab.ta.shape[2])
     xl, xh = limb32.to_pair(x_ntt.reshape(rk, n1, N2))
     sl, sh = limb32.to_pair(jnp.broadcast_to(sk, x_ntt.shape)
                             .reshape(rk, n1, N2))
@@ -652,7 +652,7 @@ def encrypt_fused(u_ntt, pk, e, m_poly, ftab, consts: TailConsts,
     (which equals poly_add + divide_and_round + add_message)."""
     r, n = u_ntt.shape
     n1 = n // N2
-    LA = (n1.bit_length() - 1) * n1
+    LA = int(ftab.ta.shape[2])
     xl, xh = limb32.to_pair(u_ntt.reshape(r, n1, N2))
     yl, yh = limb32.to_pair(pk.reshape(2 * r, n1, N2))
     el, eh = limb32.to_pair(e.reshape(2 * r, n1, N2))

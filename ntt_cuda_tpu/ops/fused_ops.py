@@ -158,7 +158,7 @@ def keygen_fused(s_b, a, e_d, ftab, interpret: bool = False):
     planes."""
     r, n = a.shape
     n1 = n // N2
-    LA = (n1.bit_length() - 1) * n1
+    LA = int(ftab.ta.shape[2])
     sb = s_b.reshape(n1, N2)
     al, ah = limb32.to_pair(a.reshape(r, n1, N2))
     ed = e_d.reshape(n1, N2)
@@ -235,7 +235,7 @@ def half_polymul(x, y_ntt, ftab, interpret: bool = False):
     materialized per message: its blocks are indexed by modulus only, so
     the J grid steps of one modulus re-read the same (r, n) planes."""
     n, n1 = ftab.n, ftab.n1
-    LA = (n1.bit_length() - 1) * n1
+    LA = int(ftab.ta.shape[2])
     r = ftab.qconst.shape[0]
     batch_shape = x.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -322,7 +322,7 @@ def encrypt_front(u_b, pk, ftab, interpret: bool = False):
     needs the cross-shard ra psum between this and encrypt_tail."""
     _, r, n = pk.shape
     n1 = n // N2
-    LA = (n1.bit_length() - 1) * n1
+    LA = int(ftab.ta.shape[2])
     ub = u_b.reshape(n1, N2)
     p0l, p0h = limb32.to_pair(pk[0].reshape(r, n1, N2))
     p1l, p1h = limb32.to_pair(pk[1].reshape(r, n1, N2))
@@ -503,7 +503,7 @@ def encrypt_fused(u_b, pk, e_d, m_poly, ftab, consts: TailConsts,
         return jnp.concatenate(cts, axis=0)
     r = pk.shape[1]
     n1 = n // N2
-    LA = (n1.bit_length() - 1) * n1
+    LA = int(ftab.ta.shape[2])
     ub = u_b.reshape(J, n1, N2)
     pkl, pkh = limb32.to_pair(pk.reshape(2 * r, n1, N2))
     ed = e_d.reshape(J * 2, n1, N2)
@@ -677,7 +677,7 @@ def keyswitch_fused(c2, ksk, ftab, consts: TailConsts, nub,
     J, k, n = c2.shape
     r = ksk.shape[2]
     n1 = n // N2
-    LA = (n1.bit_length() - 1) * n1
+    LA = int(ftab.ta.shape[2])
     cl, ch = limb32.to_pair(c2.reshape(J, k, n1, N2))
     # key rows per modulus: (2, k, r, n) -> (r, 2k, n1, N2)
     kt = jnp.moveaxis(ksk, 2, 0).reshape(r, 2 * k, n1, N2)
@@ -792,7 +792,7 @@ def keyswitch_front_fused(c2, ksk_rows, ftab_rows, nub_rows,
     J, k, n = c2.shape
     RL = ksk_rows.shape[2]
     n1 = n // N2
-    LA = (n1.bit_length() - 1) * n1
+    LA = int(ftab_rows.ta.shape[2])
     cl, ch = limb32.to_pair(c2.reshape(J, k, n1, N2))
     kt = jnp.moveaxis(ksk_rows, 2, 0).reshape(RL, 2 * k, n1, N2)
     ktl, kth = limb32.to_pair(kt)

@@ -240,12 +240,20 @@ class FourStepTables:
     n1: int
 
     @staticmethod
-    def build(qs, psis, n: int) -> "FourStepTables":
+    def build(qs, psis, n: int, compact_a: bool = False) -> "FourStepTables":
+        """compact_a=True stores the stage-A planes un-expanded
+        ((4, n1, 128) instead of (4, log2(n1)*n1, 128)); the kernels
+        detect the layout by shape and expand per stage in-kernel
+        (_stage_rows).  Bit-identical outputs; trades ~4.3 us/stage-A
+        pass of expand work for 8x smaller twiddle residency."""
         parts = [_mod_tables(int(q), int(p), n) for q, p in zip(qs, psis)]
         n1 = n // N2
         stack = lambda i: jnp.asarray(np.stack([p[i] for p in parts]))
-        stack_exp = lambda i: jnp.asarray(np.stack(
-            [expand_stage_a(p[i], n1) for p in parts]))
+        if compact_a:
+            stack_exp = stack
+        else:
+            stack_exp = lambda i: jnp.asarray(np.stack(
+                [expand_stage_a(p[i], n1) for p in parts]))
         return FourStepTables(
             ta=stack_exp(0), tc=stack(1), tb=stack(2),
             tai=stack_exp(3), tci=stack(4), tbi=stack(5), qconst=stack(6),
@@ -254,10 +262,11 @@ class FourStepTables:
         )
 
 
-def tables_for(params, count: int | None = None) -> FourStepTables:
+def tables_for(params, count: int | None = None,
+               compact_a: bool = False) -> FourStepTables:
     qs = params.q if count is None else params.q[:count]
     psis = params.psi if count is None else params.psi[:count]
-    return FourStepTables.build(qs, psis, params.n)
+    return FourStepTables.build(qs, psis, params.n, compact_a=compact_a)
 
 
 # ---------------------------------------------------------------------------
@@ -299,8 +308,25 @@ def _partner_rows(x, d, n1, u_mask, interpret):
 
 
 def _stage_rows(ta_ref, s: int, n1: int):
-    """(w, wp) limb pairs for stage s from a per-stage-expanded
-    (4, log2(n1)*n1, 128) plane ref (expand_stage_a)."""
+    """(w, wp) limb pairs for stage s.
+
+    Two table layouts, dispatched on the ref's row count (a static
+    shape, so the branch is resolved at trace time):
+    * expanded (4, log2(n1)*n1, 128) — expand_stage_a planes; stage s
+      is a contiguous row slice.  The default: the in-kernel expand
+      costs ~4.3 us per stage-A pass (module docstring).
+    * compact (4, n1, 128) — raw _mod_tables planes (row i = tabA[i]);
+      stage s reads rows [2^s, 2^{s+1}) and broadcasts each group row
+      across its 2d butterfly rows in-kernel.  8x smaller VMEM
+      residency per modulus — the opt-in for whole-op fused kernels at
+      n=2^15, where fwd+inv expanded tables (~9 MB/modulus) defeat
+      Mosaic's grid pipelining (FourStepTables.build(compact_a=True))."""
+    if ta_ref.shape[1] == n1 and n1 >= 4:
+        m = 1 << s
+        d = n1 >> (s + 1)
+        ex = lambda p: _expand_rows(p, m, d)
+        return ((ex(ta_ref[0, m:2 * m, :]), ex(ta_ref[1, m:2 * m, :])),
+                (ex(ta_ref[2, m:2 * m, :]), ex(ta_ref[3, m:2 * m, :])))
     lo = s * n1
     hi = lo + n1
     return ((ta_ref[0, lo:hi, :], ta_ref[1, lo:hi, :]),
@@ -463,7 +489,7 @@ def _transform(x64, mod_idx, tables: FourStepTables, inverse: bool,
     """General path: arbitrary per-poly modulus assignment via a prefetched
     index map."""
     n, n1 = tables.n, tables.n1
-    LA = (n1.bit_length() - 1) * n1   # expanded stage-A rows
+    LA = int(tables.ta.shape[2])   # stage-A table rows (expanded or compact)
     batch_shape = x64.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
     x64 = x64.reshape(B, n1, N2)
@@ -527,7 +553,7 @@ def _transform_tiled(x64, tables: FourStepTables, inverse: bool,
     modulus is fetched once and reused across its polys (13% over the
     general path at n=2^15, r=9 on v5e)."""
     n, n1 = tables.n, tables.n1
-    LA = (n1.bit_length() - 1) * n1   # expanded stage-A rows
+    LA = int(tables.ta.shape[2])   # stage-A table rows (expanded or compact)
     r = tables.qconst.shape[0]
     batch_shape = x64.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -649,7 +675,7 @@ def _make_kernel_inv_mul(n1: int, interpret: bool):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _transform_inv_mul(x64, y64, tables: FourStepTables, interpret: bool):
     n, n1 = tables.n, tables.n1
-    LA = (n1.bit_length() - 1) * n1   # expanded stage-A rows
+    LA = int(tables.ta.shape[2])   # stage-A table rows (expanded or compact)
     r = tables.qconst.shape[0]
     batch_shape = x64.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -731,7 +757,7 @@ def _make_kernel_fwd_addneg(n1: int, interpret: bool):
 def _transform_fwd_addneg(x64, e64, tables: FourStepTables,
                           interpret: bool):
     n, n1 = tables.n, tables.n1
-    LA = (n1.bit_length() - 1) * n1
+    LA = int(tables.ta.shape[2])
     r = tables.qconst.shape[0]
     batch_shape = x64.shape[:-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
