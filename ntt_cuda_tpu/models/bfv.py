@@ -151,6 +151,7 @@ class BFVContext:
     dec_tail_consts: bfv_tail.DecTailConsts | None
     uniform_spec: str = "int"          # "int" | "fp64" (reference-exact)
     fusion: str = "op"                 # "op" | "stage" (see build())
+    compact_a: bool = False            # un-expanded stage-A tables (build())
     # lazily-built EvalMult state (aux-base consts + Bsk NTT tables);
     # a mutable cache on a frozen context, excluded from eq/hash
     _mult_cache: dict = dataclasses.field(default_factory=dict,
@@ -161,7 +162,7 @@ class BFVContext:
               backend: str | None = None,
               uniform_spec: str = "int",
               fusion: str = "auto",
-              compact_a: bool | None = None) -> "BFVContext":
+              compact_a: bool = False) -> "BFVContext":
         """uniform_spec="fp64" makes keygen's uniform draw follow the
         reference's exact double-precision semantics (bfv_keygen.cuh:33-45,
         emulated bit-for-bit in integer arithmetic — ops/sampling.py
@@ -183,9 +184,11 @@ class BFVContext:
         ((4, n1, 128) planes, expanded per stage in-kernel) — 8x smaller
         per-modulus table residency (~9 MB -> ~2.3 MB fwd+inv at
         n=2^15) at ~4.3 us of expand work per stage-A pass.  Default
-        (None): expanded everywhere (the measured round-2 win for the
-        pipelined per-stage kernels).  Bit-identical outputs either
-        way."""
+        False: expanded everywhere (the measured round-2 win for the
+        pipelined per-stage kernels).  Bit-identical outputs either way
+        (tests/test_compact_a.py); threaded through every table the
+        context builds, including the lazily-built Bsk EvalMult
+        tables."""
         if params.t % 2 == 0 and params.t & (params.t - 1):
             raise ValueError(
                 f"t={params.t} is neither a power of two (reference "
@@ -212,10 +215,11 @@ class BFVContext:
         if fusion not in ("op", "stage"):
             raise ValueError(f"unknown fusion {fusion!r}")
         use_pallas = backend != "xla"
-        compact_a = bool(compact_a) if compact_a is not None else False
+        compact_a = bool(compact_a)
         return BFVContext(
             uniform_spec=uniform_spec,
             fusion=fusion,
+            compact_a=compact_a,
             params=params,
             ms_full=modmath.modulus_set(params),
             ms_drop=modmath.modulus_set(params, params.r - 1),
@@ -810,7 +814,8 @@ class BFVContext:
                      if use_pallas else None),
                 tables_bsk=ntt.NTTTables.build(aux.bsk, aux.bsk_psi, p.n),
                 ftab_bsk=(ntt_pallas.FourStepTables.build(
-                    aux.bsk, aux.bsk_psi, p.n) if use_pallas else None),
+                    aux.bsk, aux.bsk_psi, p.n, compact_a=self.compact_a)
+                    if use_pallas else None),
                 p_mont=self._p_mont_bank(),
             )
             self._mult_cache["setup"] = st

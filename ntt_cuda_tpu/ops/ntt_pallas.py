@@ -246,8 +246,17 @@ class FourStepTables:
         detect the layout by shape and expand per stage in-kernel
         (_stage_rows).  Bit-identical outputs; trades ~4.3 us/stage-A
         pass of expand work for 8x smaller twiddle residency."""
-        parts = [_mod_tables(int(q), int(p), n) for q, p in zip(qs, psis)]
         n1 = n // N2
+        if compact_a and n1 < 4:
+            # at n1=2 (n=256) compact (4, n1, 128) and expanded
+            # (4, log2(n1)*n1, 128) planes have the same shape, so the
+            # kernels' shape dispatch (_stage_rows) cannot tell them
+            # apart and would mis-slice a compact table
+            raise ValueError(
+                f"compact_a requires n1 >= 4 (n >= 512); n={n} gives "
+                f"n1={n1}, where compact and expanded stage-A tables "
+                f"are shape-ambiguous")
+        parts = [_mod_tables(int(q), int(p), n) for q, p in zip(qs, psis)]
         stack = lambda i: jnp.asarray(np.stack([p[i] for p in parts]))
         if compact_a:
             stack_exp = stack
