@@ -66,6 +66,16 @@ ROOFLINE_FLOOR_US = {
     "32k_9q": (300.0, 300.0, 195.0),
     "32k_16q": (530.0, 540.0, 350.0),
 }
+# Per-transform assumption behind ROOFLINE_FLOOR_US (VPU speed-of-light
+# at n=2^15).  The drift guard scales the floors by the SAME-RUN NTT
+# slope over this nominal to get a chip-epoch-corrected expectation.
+NOMINAL_FLOOR_NTT_US = 11.0
+# Re-measure any Table-7 op slower than this multiple of its
+# NTT-slope-scaled floor before publishing (BENCH_r04 published 32k
+# keygen/encrypt 2.7x off the same-run NTT-implied expectation — one
+# relay-drift epoch, never re-measured).  Healthy ops run <= ~1.35x
+# this expectation (2.03x raw floor at nominal NTT speed).
+DRIFT_GUARD_X = float(os.environ.get("BENCH_DRIFT_GUARD_X", "1.8"))
 
 
 def _log(msg):
@@ -326,10 +336,32 @@ def _bench_bfv_one(bfv, get_bfv_params, profiling, jax, jnp, name):
     hi = max(64, (1 << 24) // (n * r))
     lo = hi // 8
     kw = dict(inner_lo=lo, inner_hi=hi, reps=3, epochs=3)
-    t_kg = profiling.time_chained_dynamic(kg_step, jnp.uint64(1), pk, m,
-                                          bz, **kw)
-    t_enc = profiling.time_chained_dynamic(enc_step, ct, pk, m, bz, **kw)
-    t_dec = profiling.time_chained_dynamic(dec_step, ct, sk, m, bz, **kw)
+    fl = ROOFLINE_FLOOR_US.get(name)
+    remeasured = []
+
+    def measure(label, idx, thunk):
+        """One op measurement, defended against relay drift: if the
+        result exceeds DRIFT_GUARD_X times the same-run-NTT-scaled
+        floor, re-measure once and take the min (the relay's noise is
+        additive-positive, so min is the honest statistic)."""
+        t = thunk()
+        ntt_us = _HEADLINE_STATE.get("ntt_slope_us")
+        if fl is not None and ntt_us and t > 0:
+            expected = fl[idx] * max(1.0, ntt_us / NOMINAL_FLOOR_NTT_US)
+            if t * 1e6 > DRIFT_GUARD_X * expected:
+                _log(f"[bench] {name} {label}: {t*1e6:.1f} us is "
+                     f">{DRIFT_GUARD_X}x the NTT-implied {expected:.0f} "
+                     f"us — re-measuring (drift guard)")
+                t = min(t, thunk())
+                remeasured.append(label)
+        return t
+
+    t_kg = measure("keygen", 0, lambda: profiling.time_chained_dynamic(
+        kg_step, jnp.uint64(1), pk, m, bz, **kw))
+    t_enc = measure("encrypt", 1, lambda: profiling.time_chained_dynamic(
+        enc_step, ct, pk, m, bz, **kw))
+    t_dec = measure("decrypt", 2, lambda: profiling.time_chained_dynamic(
+        dec_step, ct, sk, m, bz, **kw))
     b_kg, b_enc, b_dec = BASELINE_BFV_US[name]
     if min(t_kg, t_enc, t_dec) <= 0:
         raise RuntimeError("degenerate slope")
@@ -352,6 +384,8 @@ def _bench_bfv_one(bfv, get_bfv_params, profiling, jax, jnp, name):
         row["keygen_vs_floor"] = round(t_kg * 1e6 / fl[0], 2)
         row["encrypt_vs_floor"] = round(t_enc * 1e6 / fl[1], 2)
         row["decrypt_vs_floor"] = round(t_dec * 1e6 / fl[2], 2)
+    if remeasured:
+        row["drift_remeasured"] = remeasured
     _log(f"[bench] {name}: kg {t_kg*1e6:.1f} enc {t_enc*1e6:.1f} "
          f"dec {t_dec*1e6:.1f} us "
          f"({time.perf_counter()-t0:.0f}s incl. compiles)")
@@ -694,6 +728,8 @@ def main() -> None:
             init_ok.set()
         tf = _section("transforms", detail, None, bench_transforms)
         if tf and tf["ntt"] > 0 and tf["intt"] > 0:
+            # same-run chip-speed anchor for the Table-7 drift guard
+            _HEADLINE_STATE["ntt_slope_us"] = tf["ntt"]
             headline.update({
                 "value": round(1e6 / tf["ntt"], 1),
                 "vs_baseline": round(BASELINE_NTT_US / tf["ntt"], 3),
