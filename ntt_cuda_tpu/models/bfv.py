@@ -182,13 +182,16 @@ class BFVContext:
 
         compact_a stores the Pallas stage-A twiddle tables un-expanded
         ((4, n1, 128) planes, expanded per stage in-kernel) — 8x smaller
-        per-modulus table residency (~9 MB -> ~2.3 MB fwd+inv at
-        n=2^15) at ~4.3 us of expand work per stage-A pass.  Default
-        False: expanded everywhere (the measured round-2 win for the
-        pipelined per-stage kernels).  Bit-identical outputs either way
-        (tests/test_compact_a.py); threaded through every table the
-        context builds, including the lazily-built Bsk EvalMult
-        tables."""
+        per-modulus table residency at in-kernel expand cost.  Measured
+        round 5 (scratch/compact_ab.log, same-process TPU A/B): it
+        LOSES everywhere — 32k_9q op/compact 0.78-0.85x and
+        stage/compact 0.84-0.87x of stage/expanded; 16k_5q op/compact
+        encrypt 0.87x of op/expanded; 32k_16q 0.78-0.88x.  The expand
+        work exceeds the residency win at every size, so the default
+        stays False (expanded); the knob is kept for study.
+        Bit-identical outputs either way (tests/test_compact_a.py);
+        threaded through every table the context builds, including the
+        lazily-built Bsk EvalMult tables."""
         if params.t % 2 == 0 and params.t & (params.t - 1):
             raise ValueError(
                 f"t={params.t} is neither a power of two (reference "
