@@ -55,21 +55,23 @@ BASELINE_BFV_US = {
     "32k_9q": (273.73, 276.10, 160.05),
     "32k_16q": (427.81, 514.73, 246.48),
 }
-# Arithmetic-derived single-v5e VPU speed-of-light floors (us):
-# (keygen, encrypt, decrypt) — transform count x ~11 us/transform at
-# n=2^15 (~5.5 us at 2^14: half the lanes, 14/15 stage passes) + draw/
-# tail work (README "roofline" section, commit 3bb0aec).  At 16k the
-# floor sits BELOW the V100 on all three ops — the residual encrypt gap
-# is kernel-at-~1.4x-roofline, not architecture (NOTES r4 session 3).
+# MEASURED single-v5e VPU speed-of-light floors (us): (keygen, encrypt,
+# decrypt) = transform count x measured zero-IO per-transform floor
+# (benchmarks/floor_probe.py, round 5: 13.81 us at n=2^15, 5.72 at
+# 2^14 — dependent-chain butterfly-mix kernels on VMEM-resident tiles,
+# no table/HBM traffic) + measured draw/tail allowance.  At 16k the
+# floor sits BELOW the V100 on all three ops; at 32k even
+# speed-of-light cannot beat the V100 single-chip (the framework's
+# answer is the rns mesh axis — README roofline section).
 ROOFLINE_FLOOR_US = {
-    "16k_5q": (90.0, 97.0, 55.0),
-    "32k_9q": (300.0, 300.0, 195.0),
-    "32k_16q": (530.0, 540.0, 350.0),
+    "16k_5q": (98.0, 101.0, 56.0),
+    "32k_9q": (413.0, 408.0, 236.0),
+    "32k_16q": (733.0, 708.0, 434.0),
 }
-# Per-transform assumption behind ROOFLINE_FLOOR_US (VPU speed-of-light
-# at n=2^15).  The drift guard scales the floors by the SAME-RUN NTT
-# slope over this nominal to get a chip-epoch-corrected expectation.
-NOMINAL_FLOOR_NTT_US = 11.0
+# Measured per-transform floor at n=2^15 behind ROOFLINE_FLOOR_US.  The
+# drift guard scales the floors by the SAME-RUN NTT slope over this to
+# get a chip-epoch-corrected expectation.
+NOMINAL_FLOOR_NTT_US = 13.81
 # Re-measure any Table-7 op slower than this multiple of its
 # NTT-slope-scaled floor before publishing (BENCH_r04 published 32k
 # keygen/encrypt 2.7x off the same-run NTT-implied expectation — one

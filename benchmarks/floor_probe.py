@@ -16,11 +16,14 @@ unhoistable):
   * stageB  — one full stage-B lane-rotate butterfly pass
               (pltpu.roll axis=1 instead of axis=0)
 
-Per-iteration cost comes from the slope between a K_LO- and a K_HI-
-iteration kernel (launch + tile-IO cancel), each timed with the
-chained-fori_loop methodology.  The derived per-transform floor at
-n=2^15 is  L1*stageA + L2*stageB + 1*mul (twiddle fix)  per 32k
-elements — printed against the shipped kernel's measured us/transform.
+Per-iteration cost = (chained-slope time of one K=256-iteration kernel)
+/ 256: the body dominates launch + tile-IO (~1 us) by >100x, so the
+uncorrected bias is ~1%.  (A two-kernel K-slope variant measured first
+amplified the relay's between-measurement drift into 2x swings —
+min-over-epochs of ONE compiled kernel is the stable estimator.)  The
+derived per-transform floor at n=2^15 is  L1*stageA + L2*stageB +
+1*mul (twiddle fix) — printed against the shipped kernel's measured
+us/transform.
 
 Usage (real TPU):  python benchmarks/floor_probe.py [n]
 """
@@ -110,17 +113,15 @@ def make_probe(kind: str, K: int, n1: int, q: int, psi: int):
     return step
 
 
-def probe(kind: str, n1: int, q: int, psi: int, k_lo=16, k_hi=64):
+def probe(kind: str, n1: int, q: int, psi: int, K: int = 256):
     """Per-iteration (per-pass) seconds for `kind` on an (n1, 128) tile."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 1 << 32, (2, n1, N2), dtype=np.uint64)
                     .astype(np.uint32))
-    per = {}
-    for K in (k_lo, k_hi):
-        step = make_probe(kind, K, n1, q, psi)
-        per[K] = profiling.time_chained_dynamic(
-            step, x, inner_lo=8, inner_hi=64, reps=3, epochs=3)
-    return (per[k_hi] - per[k_lo]) / (k_hi - k_lo)
+    step = make_probe(kind, K, n1, q, psi)
+    per_call = profiling.time_chained_dynamic(
+        step, x, inner_lo=8, inner_hi=64, reps=3, epochs=5)
+    return per_call / K
 
 
 def main():
