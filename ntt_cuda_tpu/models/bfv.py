@@ -961,9 +961,16 @@ def _encrypt_batch_jit(nonces, pk, m_batch, ms_full, ms_drop, ms_last,
                        fusion: str = "op"):
     """J-message encryption: the J per-nonce keystreams run as ONE
     batched kernel (salsa20.keystream_block_words_batch) and the compute
-    as one J-batched kernel sweep on the pallas backends."""
+    as one J-batched kernel sweep on the pallas backends.
+
+    The fused op kernel is used regardless of the context's fusion
+    schedule: it is the only J-batched sweep (the stage path loops per
+    message, re-fetching every twiddle set J times), and it wins even
+    at n=2^15 where the J=1 op schedule loses — measured round 5
+    (scratch/batched32k.log): 32k_9q J=16 encrypt 553 us/msg fused vs
+    650 us/msg per-message stage loop."""
     ks = "pallas" if backend == "pallas" else "xla"
-    if backend != "xla" and fusion == "op":
+    if backend != "xla":
         u_b, e_d = sampling.encrypt_draws_compact_batch(n, nonces,
                                                         ks_impl=ks)
         return fused_ops.encrypt_fused(u_b, pk, e_d, m_batch.astype(U64),
