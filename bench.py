@@ -594,6 +594,33 @@ def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
     return row
 
 
+def bench_floor_probe():
+    """Measured zero-IO VPU floor for the butterfly mix at n=2^15
+    (benchmarks/floor_probe.py): dependent-chain Pallas kernels on
+    VMEM-resident tiles, no table/HBM traffic.  The ROOFLINE_FLOOR_US
+    table is derived from these; recording them per run keeps the
+    floors honest against chip-epoch drift."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "floor_probe", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "floor_probe.py"))
+    fp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fp)
+    n = 32768
+    n1 = n // 128
+    from ntt_cuda_tpu.params import get_params
+    q, psi, _, _, _ = get_params(n)
+    out = {}
+    for kind in ("mul", "stageA", "stageB"):
+        out[kind + "_us"] = round(
+            fp.probe(kind, n1, q, psi, epochs=2) * 1e6, 4)
+    out["floor_us_per_transform"] = round(
+        8 * out["stageA_us"] + 7 * out["stageB_us"] + out["mul_us"], 3)
+    _log(f"[bench] floor_probe 2^15: {out}")
+    return out
+
+
 def _arm_backend_watchdog() -> "threading.Event":
     """The relay-backed TPU backend can hang at init (observed: a
     jax.devices() that never returns).  If the first backend touch hasn't
@@ -791,6 +818,9 @@ def main() -> None:
             })
         _section("table6_55bit", detail, "table6_55bit", bench_table6)
         _section("table6_30bit", detail, "table6_30bit", bench_table6_30bit)
+        if not _over_budget(reserve_sec=250.0):
+            _section("floor_probe", detail, "floor_probe",
+                     bench_floor_probe)
     finally:
         if "sections_failed" in detail:
             headline["sections_failed"] = detail["sections_failed"]

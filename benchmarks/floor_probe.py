@@ -113,14 +113,15 @@ def make_probe(kind: str, K: int, n1: int, q: int, psi: int):
     return step
 
 
-def probe(kind: str, n1: int, q: int, psi: int, K: int = 256):
+def probe(kind: str, n1: int, q: int, psi: int, K: int = 256,
+          epochs: int = 5):
     """Per-iteration (per-pass) seconds for `kind` on an (n1, 128) tile."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 1 << 32, (2, n1, N2), dtype=np.uint64)
                     .astype(np.uint32))
     step = make_probe(kind, K, n1, q, psi)
     per_call = profiling.time_chained_dynamic(
-        step, x, inner_lo=8, inner_hi=64, reps=3, epochs=5)
+        step, x, inner_lo=8, inner_hi=64, reps=3, epochs=epochs)
     return per_call / K
 
 
