@@ -612,11 +612,23 @@ def bench_floor_probe():
     from ntt_cuda_tpu.params import get_params
     q, psi, _, _, _ = get_params(n)
     out = {}
+    # two probe rounds per kind, min per component: a single round's two
+    # epochs can both land in a slow relay window (observed: mul 4.75 us
+    # vs its true ~1.2 — which pushed the "floor" ABOVE the same-run
+    # measured NTT, an impossibility)
     for kind in ("mul", "stageA", "stageB"):
-        out[kind + "_us"] = round(
-            fp.probe(kind, n1, q, psi, epochs=2) * 1e6, 4)
+        v = fp.probe(kind, n1, q, psi, epochs=2)
+        if not _over_budget(reserve_sec=60.0):
+            v = min(v, fp.probe(kind, n1, q, psi, epochs=2))
+        out[kind + "_us"] = round(v * 1e6, 4)
     out["floor_us_per_transform"] = round(
         8 * out["stageA_us"] + 7 * out["stageB_us"] + out["mul_us"], 3)
+    ntt_us = _HEADLINE_STATE.get("ntt_slope_us")
+    if ntt_us and out["floor_us_per_transform"] > ntt_us:
+        out["note"] = ("floor probe exceeded the same-run measured NTT "
+                       "— a drifted probe window; see "
+                       "benchmarks/floor_probe.py for the settled "
+                       "cross-session value (~13.8 us)")
     _log(f"[bench] floor_probe 2^15: {out}")
     return out
 
