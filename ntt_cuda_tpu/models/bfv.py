@@ -916,6 +916,20 @@ def _keygen_jit(nonce, ms, tables, ftab, n: int, r: int, backend: str,
         sk, pk0 = fused_ops.keygen_fused(
             s_b, a, e_d, ftab, interpret=(backend == "pallas-interpret"))
         return sk, jnp.stack([pk0, a])
+    if backend != "xla":
+        # stage schedule, compact draws: s and e expand in-kernel
+        # (ntt_forward_ternary / ntt_forward_addneg_gauss), so their
+        # (r, n) u64 residue tensors never reach HBM — draw
+        # generation+expansion measured 130 us of 613 us keygen at
+        # 32k_9q on the expanded path (scratch/kg_profile32k.py)
+        interp = backend == "pallas-interpret"
+        s_b, a, e_d = sampling.keygen_draws_compact(
+            n, r, ms, nonce=nonce, uniform_spec=uniform_spec, ks_impl=ks)
+        sk = ntt_pallas.ntt_forward_ternary(s_b, ftab, interpret=interp)
+        pk0 = ntt_pallas.ntt_inverse_mul(a, sk, ftab, interpret=interp)
+        pk0 = ntt_pallas.ntt_forward_addneg_gauss(pk0, e_d, ftab,
+                                                  interpret=interp)
+        return sk, jnp.stack([pk0, a])
     s, a, e = sampling.keygen_draws(
         n, r, ms, nonce=nonce, uniform_spec=uniform_spec, ks_impl=ks)
     sk = _fwd(s, tables, ftab, ms, backend)             # s kept in NTT domain
@@ -944,6 +958,14 @@ def _encrypt_jit(nonce, pk, m_poly, ms_full, ms_drop, ms_last, tables, ftab,
                                                   ks_impl=ks)
         return fused_ops.encrypt_fused(u_b, pk, e_d, m_poly.astype(U64),
                                        ftab, tail_consts, interpret=interp)
+    if backend != "xla":
+        # stage schedule, compact draws: u's ternary expansion rides the
+        # forward kernel, e's Gaussian expansion the fused tail
+        u_b, e_d = sampling.encrypt_draws_compact(n, nonce=nonce,
+                                                  ks_impl=ks)
+        u_ntt = ntt_pallas.ntt_forward_ternary(u_b, ftab, interpret=interp)
+        return bfv_tail.encrypt_fused(u_ntt, pk, e_d, m_poly.astype(U64),
+                                      ftab, tail_consts, interpret=interp)
     u, e0, e1 = sampling.encrypt_draws(n, r, ms_full, nonce=nonce,
                                        ks_impl=ks)
     # xla / round-2 "stage" schedules share _encrypt_one_drawn with the

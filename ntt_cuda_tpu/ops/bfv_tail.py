@@ -559,20 +559,31 @@ def decrypt_fused(x_ntt, sk, ct0, ftab, consts: DecTailConsts,
 # Fully fused encrypt back half: dyadic (.) pk + inverse NTT + tail.
 # ---------------------------------------------------------------------------
 
-def _make_enc_fused_kernel(fix_th: int, r: int, n1: int, interpret: bool):
+def _make_enc_fused_kernel(fix_th: int, r: int, n1: int, interpret: bool,
+                           compact_e: bool = False):
     """One kernel for everything after encrypt's forward transform of u:
     per (residue, ciphertext-half) grid step, c = INTT(u_ntt (.) pk),
     then the encrypt tail of _make_kernel.  The tail needs the adjusted
     LAST residue ((c+e) + q_last/2) broadcast to every kept residue, so
     the grid maps step m=0 to the last residue (both halves first, its
     ra kept in VMEM scratch) and steps m>=1 to kept residue m-1.
-    Bit-identical to ntt_inverse_mul + encrypt_tail."""
+    Bit-identical to ntt_inverse_mul + encrypt_tail.
+
+    compact_e: e arrives as ONE (2, n) i32 compact Gaussian plane pair
+    and expands per residue in-kernel (ntt_pallas.gauss_res) — the
+    (2, r, n) u64 error tensor never reaches HBM (stage-schedule
+    compact-draw path)."""
     from . import ntt_pallas as ntp
     rr = np.int32(r)
 
     def kernel(pm_ref, gl_ref, qc_ref, xl_ref, xh_ref, yl_ref, yh_ref,
-               el_ref, eh_ref, ml_ref, mh_ref, tai_ref, tcir_ref, tbi_ref,
-               ol_ref, oh_ref, ra_l, ra_h):
+               *rest):
+        if compact_e:
+            (ed_ref, ml_ref, mh_ref, tai_ref, tcir_ref, tbi_ref,
+             ol_ref, oh_ref, ra_l, ra_h) = rest
+        else:
+            (el_ref, eh_ref, ml_ref, mh_ref, tai_ref, tcir_ref, tbi_ref,
+             ol_ref, oh_ref, ra_l, ra_h) = rest
         m_step = pl.program_id(0)
         half_idx = pl.program_id(1)
         mi = jnp.where(m_step == 0, rr - 1, m_step - 1)
@@ -593,7 +604,10 @@ def _make_enc_fused_kernel(fix_th: int, r: int, n1: int, interpret: bool):
         x = ntp._normalize(x, qq, two_q)
 
         # --- c += e (strict `>` quirk), on this residue ---
-        e = (el_ref[0], eh_ref[0])
+        if compact_e:
+            e = ntp.gauss_res(ed_ref[0], qq)
+        else:
+            e = (el_ref[0], eh_ref[0])
         s = limb32.add64(x, e)
         s = limb32.cond_sub64(s, qq, limb32.gt64(s, qq))
 
@@ -646,16 +660,20 @@ def _make_enc_fused_kernel(fix_th: int, r: int, n1: int, interpret: bool):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def encrypt_fused(u_ntt, pk, e, m_poly, ftab, consts: TailConsts,
                   interpret: bool = False):
-    """(r, n) u_ntt = NTT(u), (2, r, n) NTT-domain pk, (2, r, n) e,
-    (n,) m -> (2, r-1, n) ciphertext.  Bit-identical to
+    """(r, n) u_ntt = NTT(u), (2, r, n) NTT-domain pk, e, (n,) m ->
+    (2, r-1, n) ciphertext.  Bit-identical to
     ntt_inverse_mul(broadcast(u_ntt), pk) followed by encrypt_tail
-    (which equals poly_add + divide_and_round + add_message)."""
+    (which equals poly_add + divide_and_round + add_message).
+
+    e is either the (2, r, n) u64 residue tensor or a COMPACT (2, n)
+    i32 Gaussian plane pair (sampling.encrypt_draws_compact), expanded
+    per residue in-kernel."""
     r, n = u_ntt.shape
     n1 = n // N2
     LA = int(ftab.ta.shape[2])
+    compact_e = e.dtype == jnp.int32
     xl, xh = limb32.to_pair(u_ntt.reshape(r, n1, N2))
     yl, yh = limb32.to_pair(pk.reshape(2 * r, n1, N2))
-    el, eh = limb32.to_pair(e.reshape(2 * r, n1, N2))
     ml, mh = limb32.to_pair(m_poly.reshape(1, n1, N2))
 
     z = np.int32(0)
@@ -663,24 +681,32 @@ def encrypt_fused(u_ntt, pk, e, m_poly, ftab, consts: TailConsts,
     res = lambda m: jnp.where(m == 0, rr - 1, m - 1)
     umap = lambda m, h, pm, gl, qc: (res(m), z, z)         # u_ntt: no half
     dmap = lambda m, h, pm, gl, qc: (h * rr + res(m), z, z)
+    emap = lambda m, h, pm, gl, qc: (h, z, z)              # compact e
     mmap = lambda m, h, pm, gl, qc: (z, z, z)
     omap = lambda m, h, pm, gl, qc: (
         h * (rr - 1) + jnp.maximum(m, 1) - 1, z, z)
     tmap = lambda m, h, pm, gl, qc: (res(m), z, z, z)
     bs = lambda im: pl.BlockSpec((1, n1, N2), im, memory_space=pltpu.VMEM)
+    if compact_e:
+        e_specs = [bs(emap)]
+        e_args = [e.reshape(2, n1, N2)]
+    else:
+        el, eh = limb32.to_pair(e.reshape(2 * r, n1, N2))
+        e_specs = [bs(dmap), bs(dmap)]
+        e_args = [el, eh]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # per_mod (r-1 rows), glob, qconst
         grid=(r, 2),
         in_specs=[bs(umap), bs(umap),          # u_ntt
-                  bs(dmap), bs(dmap),          # pk
-                  bs(dmap), bs(dmap),          # e
-                  bs(mmap), bs(mmap),          # message
-                  pl.BlockSpec((1, 4, LA, N2), tmap,
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 4, n1, N2), tmap,
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 4, 8, N2), tmap,
-                               memory_space=pltpu.VMEM)],
+                  bs(dmap), bs(dmap)]          # pk
+                 + e_specs
+                 + [bs(mmap), bs(mmap),        # message
+                    pl.BlockSpec((1, 4, LA, N2), tmap,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 4, n1, N2), tmap,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 4, 8, N2), tmap,
+                                 memory_space=pltpu.VMEM)],
         out_specs=[bs(omap), bs(omap)],
         scratch_shapes=[pltpu.VMEM((2, n1, N2), jnp.uint32)] * 2,
     )
@@ -689,13 +715,14 @@ def encrypt_fused(u_ntt, pk, e, m_poly, ftab, consts: TailConsts,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     ol, oh = pl.pallas_call(
-        _make_enc_fused_kernel(consts.fix_th, r, n1, interpret),
+        _make_enc_fused_kernel(consts.fix_th, r, n1, interpret,
+                               compact_e=compact_e),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((2 * (r - 1), n1, N2),
                                         jnp.uint32)] * 2,
         interpret=interpret,
         **kwargs,
-    )(consts.per_mod, consts.glob, ftab.qconst, xl, xh, yl, yh, el, eh,
+    )(consts.per_mod, consts.glob, ftab.qconst, xl, xh, yl, yh, *e_args,
       ml, mh, ftab.tai, ftab.tcir, ftab.tbi)
     if interpret:
         ol, oh = jax.lax.optimization_barrier((ol, oh))

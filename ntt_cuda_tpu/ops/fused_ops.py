@@ -96,25 +96,10 @@ def _add_negate(x, e, q):
     return limb32.select64(is_q, (zero, zero), r)
 
 
-def _ternary_res(b, q):
-    """Compact ternary i32 b in {-1, 0, 1, 2} -> u64 limb-pair residue
-    (b < 0 -> q + b; sampling.ternary semantics).  q odd => q_lo >= 1,
-    so q - 1 never borrows."""
-    neg = b < jnp.int32(0)
-    lo = jnp.where(neg, q[0] - U32(1), b.astype(U32))
-    hi = jnp.where(neg, q[1], jnp.zeros_like(b, U32))
-    return lo, hi
-
-
-def _gauss_res(d, q):
-    """Compact Gaussian i32 d in [-19, 16] -> u64 limb-pair residue
-    (d < 0 -> q + d; sampling.gaussian semantics)."""
-    neg = d < jnp.int32(0)
-    mag = jnp.where(neg, -d, d).astype(U32)
-    qm = limb32.sub64(q, (mag, jnp.zeros_like(mag)))
-    lo = jnp.where(neg, qm[0], mag)
-    hi = jnp.where(neg, qm[1], jnp.zeros_like(mag))
-    return lo, hi
+# compact-draw residue expansion: the one shared pair (the compact-draw
+# stage kernels in ntt_pallas use the same maps)
+_ternary_res = ntp.ternary_res
+_gauss_res = ntp.gauss_res
 
 
 # ---------------------------------------------------------------------------

@@ -732,6 +732,108 @@ def _transform_inv_mul(x64, y64, tables: FourStepTables, interpret: bool):
     return out.reshape(batch_shape + (n,))
 
 
+def ternary_res(b, q):
+    """Compact ternary i32 b in {-1, 0, 1, 2} -> u64 limb-pair residue
+    (b < 0 -> q + b; sampling.ternary semantics).  q odd => q_lo >= 1,
+    so q - 1 never borrows.  Shared by the whole-op fused kernels
+    (ops/fused_ops.py) and the compact-draw stage kernels below."""
+    neg = b < jnp.int32(0)
+    lo = jnp.where(neg, q[0] - U32(1), b.astype(U32))
+    hi = jnp.where(neg, q[1], jnp.zeros_like(b, U32))
+    return lo, hi
+
+
+def gauss_res(d, q):
+    """Compact Gaussian i32 d in [-19, 16] -> u64 limb-pair residue
+    (d < 0 -> q + d; sampling.gaussian semantics)."""
+    neg = d < jnp.int32(0)
+    mag = jnp.where(neg, -d, d).astype(U32)
+    qm = limb32.sub64(q, (mag, jnp.zeros_like(mag)))
+    lo = jnp.where(neg, qm[0], mag)
+    hi = jnp.where(neg, qm[1], jnp.zeros_like(mag))
+    return lo, hi
+
+
+def _make_kernel_fwd_ternary(n1: int, interpret: bool):
+    """NTT(ternary-residue(u)) in one kernel: the stage schedule's
+    forward of a COMPACT i32 ternary draw (keygen's s, encryption's u) —
+    the (r, n) u64 residue tensor never reaches HBM (the draw-path cost
+    the op schedule already avoided; measured 130 us of 613 us keygen at
+    32k_9q was draw generation+expansion, scratch/kg_profile32k.py).
+    Bit-identical to sampling's residue map followed by ntt_forward."""
+    def kernel(qc_ref, ub_ref, ta_ref, tc_ref, tb_ref, ol_ref, oh_ref):
+        mi = pl.program_id(0)
+        q = (qc_ref[mi, 0], qc_ref[mi, 1])
+        two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
+        four_q = limb32.add64(two_q, two_q)
+        x = ternary_res(ub_ref[0], q)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        x = _stage_a_fwd(x, ta_ref.at[0], q, four_q, n1, row, interpret)
+        x = _elementwise_fix(x, tc_ref.at[0], q)
+        x = _stage_b_fwd(x, tb_ref.at[0], q, four_q, lane, interpret)
+        x = _normalize(x, q, two_q)
+        ol_ref[0] = x[0]
+        oh_ref[0] = x[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _transform_fwd_ternary(u_b, tables: FourStepTables, interpret: bool):
+    n, n1 = tables.n, tables.n1
+    LA = int(tables.ta.shape[2])
+    r = tables.qconst.shape[0]
+    J = u_b.shape[0]
+    ub = u_b.reshape(J, n1, N2)
+    z = np.int32(0)
+    umap = lambda m, j, qc: (j, z, z)
+    dmap = lambda m, j, qc: (j * np.int32(r) + m, z, z)
+    tmap = lambda m, j, qc: (m, z, z, z)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r, J),
+        in_specs=[
+            pl.BlockSpec((1, n1, N2), umap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, LA, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 8, N2), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+        ],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_kernel_fwd_ternary(n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((J * r, n1, N2), jnp.uint32),
+            jax.ShapeDtypeStruct((J * r, n1, N2), jnp.uint32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(tables.qconst, ub, tables.ta, tables.tc, tables.tb)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    # grid is (r, J) with data blocks j*r + m: natural (J, r, n) order
+    return limb32.from_pair((ol, oh)).reshape(J, r, n)
+
+
+def ntt_forward_ternary(u_b, tables: FourStepTables,
+                        interpret: bool = False):
+    """(n,) or (J, n) compact i32 ternary draw -> (r, n) / (J, r, n)
+    NTT-domain u64 residues, expansion fused into the forward kernel."""
+    single = u_b.ndim == 1
+    if single:
+        u_b = u_b[None]
+    out = _transform_fwd_ternary(u_b, tables, interpret=interpret)
+    return out[0] if single else out
+
+
 def _make_kernel_fwd_addneg(n1: int, interpret: bool):
     """NTT(-(x + e)) in one kernel: keygen's poly_add_negate_xq
     (bfv_keygen.cuh:81-93) is an elementwise preamble to the forward
@@ -821,6 +923,97 @@ def ntt_forward_addneg(x, e, tables: FourStepTables,
     if B % r != 0:
         raise ValueError(f"batch {batch} not a multiple of r={r}")
     return _transform_fwd_addneg(x, e, tables, interpret=interpret)
+
+
+def _make_kernel_fwd_addneg_gauss(n1: int, interpret: bool):
+    """NTT(-(x + gauss-residue(e))) in one kernel: fwd_addneg with the
+    error term expanded in-kernel from its COMPACT i32 Gaussian plane
+    (keygen's e never becomes an (r, n) u64 HBM tensor on the stage
+    schedule).  Bit-identical to sampling's residue map + poly_add_negate
+    + ntt_forward."""
+    def kernel(qc_ref, xl_ref, xh_ref, ed_ref, ta_ref, tc_ref,
+               tb_ref, ol_ref, oh_ref):
+        mi = pl.program_id(0)
+        q = (qc_ref[mi, 0], qc_ref[mi, 1])
+        two_q = (qc_ref[mi, 2], qc_ref[mi, 3])
+        four_q = limb32.add64(two_q, two_q)
+        x = (xl_ref[0], xh_ref[0])
+        e = gauss_res(ed_ref[0], q)
+        s = limb32.reduce_once(limb32.add64(x, e), q)
+        r = limb32.sub64(q, s)
+        is_q = (r[0] == q[0]) & (r[1] == q[1])
+        zero = jnp.zeros_like(r[0])
+        x = limb32.select64(is_q, (zero, zero), r)
+        lane = jax.lax.broadcasted_iota(U32, (n1, N2), 1)
+        row = jax.lax.broadcasted_iota(U32, (n1, N2), 0)
+        x = _stage_a_fwd(x, ta_ref.at[0], q, four_q, n1, row, interpret)
+        x = _elementwise_fix(x, tc_ref.at[0], q)
+        x = _stage_b_fwd(x, tb_ref.at[0], q, four_q, lane, interpret)
+        x = _normalize(x, q, two_q)
+        ol_ref[0] = x[0]
+        oh_ref[0] = x[1]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _transform_fwd_addneg_gauss(x64, e_d, tables: FourStepTables,
+                                interpret: bool):
+    n, n1 = tables.n, tables.n1
+    LA = int(tables.ta.shape[2])
+    r = tables.qconst.shape[0]
+    batch_shape = x64.shape[:-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    J = B // r
+    xl, xh = limb32.to_pair(x64.reshape(B, n1, N2))
+    ed = e_d.reshape(J, n1, N2)
+    z = np.int32(0)
+    dmap = lambda m, j, qc: (j * np.int32(r) + m, z, z)
+    emap = lambda m, j, qc: (j, z, z)
+    tmap = lambda m, j, qc: (m, z, z, z)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r, J),
+        in_specs=[
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), emap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, LA, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n1, N2), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 8, N2), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1, N2), dmap, memory_space=pltpu.VMEM),
+        ],
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ol, oh = pl.pallas_call(
+        _make_kernel_fwd_addneg_gauss(n1, interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, n1, N2), jnp.uint32)] * 2,
+        interpret=interpret,
+        **kwargs,
+    )(tables.qconst, xl, xh, ed, tables.ta, tables.tc, tables.tb)
+    if interpret:
+        ol, oh = jax.lax.optimization_barrier((ol, oh))
+    return limb32.from_pair((ol, oh)).reshape(batch_shape + (n,))
+
+
+def ntt_forward_addneg_gauss(x, e_d, tables: FourStepTables,
+                             interpret: bool = False):
+    """NTT(-(x + e)) with e given as a COMPACT (n,) / (J, n) i32
+    Gaussian draw, expanded in-kernel.  Standard RNS layout."""
+    if e_d.ndim == 1:
+        e_d = e_d[None]
+    r = tables.qconst.shape[0]
+    batch = x.shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    if B % r != 0 or B // r != e_d.shape[0]:
+        raise ValueError(f"batch {batch} vs e_d {e_d.shape} (r={r})")
+    return _transform_fwd_addneg_gauss(x, e_d, tables, interpret=interpret)
 
 
 def ntt_inverse_mul(x, y, tables: FourStepTables, interpret: bool = False):

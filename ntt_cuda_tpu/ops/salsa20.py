@@ -148,21 +148,32 @@ def _salsa_chunk(rounds: int, key_byte: int, nonce_lo, nonce_hi,
     return [x[p] + j[p] for p in range(16)]
 
 
-def _make_salsa_kernel(rounds: int, key_byte: int):
-    def kernel(sc_ref, out_ref):
+def _make_salsa_kernel(rounds: int, key_byte: int, with_u64: bool = False):
+    def kernel(sc_ref, out_ref, *u64_refs):
         # sc_ref (SMEM): [nonce_lo, nonce_hi, counter0_lo, counter0_hi]
         planes = _salsa_chunk(rounds, key_byte, sc_ref[0], sc_ref[1],
                               sc_ref[2], sc_ref[3], pl.program_id(0))
         for p in range(16):
             out_ref[p, 0] = planes[p]
+        if with_u64:
+            # u64-lane limb planes: lane j of a block = words 2j | 2j+1
+            # << 32.  The pairing is free here (all 16 word planes are
+            # registers); doing it post-hoc from the (16, nb) layout is
+            # a (nb, 8, 2) minor de-interleave XLA:TPU compiles to ~75
+            # us of relayout at keygen spans (round-5 profile).
+            lo_ref, hi_ref = u64_refs
+            for j in range(8):
+                lo_ref[j, 0] = planes[2 * j]
+                hi_ref[j, 0] = planes[2 * j + 1]
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("nblocks", "key_byte",
-                                             "rounds", "interpret"))
+                                             "rounds", "interpret",
+                                             "with_u64"))
 def _keystream_pallas(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
                       nonce=0, rounds: int = 20, counter0=0,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False, with_u64: bool = False):
     G = -(-nblocks // _CHUNK)
     nonce = jnp.asarray(nonce, U64)
     counter0 = jnp.asarray(counter0, U64)
@@ -173,28 +184,39 @@ def _keystream_pallas(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
         (counter0 >> U64(32)).astype(U32),
     ])
     z = np.int32(0)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(G,),
-        in_specs=[],
-        out_specs=[pl.BlockSpec((16, 1, 8, 128),
-                                lambda g, sc_: (z, g, z, z),
-                                memory_space=pltpu.VMEM)],
-    )
+    out_specs = [pl.BlockSpec((16, 1, 8, 128),
+                              lambda g, sc_: (z, g, z, z),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((16, G, 8, 128), jnp.uint32)]
+    if with_u64:
+        out_specs += [pl.BlockSpec((8, 1, 8, 128),
+                                   lambda g, sc_: (z, g, z, z),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((8, G, 8, 128), jnp.uint32)] * 2
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
-    out = pl.pallas_call(
-        _make_salsa_kernel(rounds, key_byte),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((16, G, 8, 128), jnp.uint32)],
+    outs = pl.pallas_call(
+        _make_salsa_kernel(rounds, key_byte, with_u64=with_u64),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[],
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
         interpret=interpret,
         **kwargs,
-    )(sc)[0]
+    )(sc)
     if interpret:
-        out = jax.lax.optimization_barrier(out)
-    return out.reshape(16, G * _CHUNK)[:, :nblocks]
+        outs = jax.lax.optimization_barrier(tuple(outs))
+    bw = outs[0].reshape(16, G * _CHUNK)[:, :nblocks]
+    if not with_u64:
+        return bw
+    lo8 = outs[1].reshape(8, G * _CHUNK)[:, :nblocks]
+    hi8 = outs[2].reshape(8, G * _CHUNK)[:, :nblocks]
+    return bw, lo8, hi8
 
 
 def keystream_block_words_batch(nblocks: int, nonces: jax.Array,
@@ -329,6 +351,59 @@ def block_words_u8_batch(bw: jax.Array, start: int, count: int) -> jax.Array:
     w = block_words_u32_batch(bw, start, -(-count // 4))
     b = jnp.stack([(w >> U32(8 * k)) & U32(0xFF) for k in range(4)], axis=2)
     return b.reshape(w.shape[0], -1)[:, :count]
+
+
+def keystream_block_words64(nblocks: int, key_byte: int = DEFAULT_KEY_BYTE,
+                            nonce=0, rounds: int = 20, counter0=0,
+                            impl: str | None = None):
+    """keystream_block_words plus PRE-PAIRED u64 limb planes:
+    (bw (16, nblocks), lo8 (8, nblocks), hi8 (8, nblocks)) where u64
+    lane j of block b = lo8[j, b] | hi8[j, b] << 32.
+
+    The pallas kernel emits the pairs directly (the 16 word planes are
+    registers there); consumers use block_words_u64_planes, whose
+    minor-8 axis permutation costs ~0.5 us where the (nb, 8, 2)
+    de-interleave behind block_words_u64 costs ~75 us at keygen spans
+    (round-5 profile, scratch/kg_profile32k.py methodology).
+    Bit-identical streams either way."""
+    if impl is None:
+        import jax as _jax
+        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    nonce = jnp.asarray(nonce, U64)
+    counter0 = jnp.asarray(counter0, U64)
+    if impl == "xla":
+        bw = _keystream_xla(nblocks, key_byte=key_byte, nonce=nonce,
+                            rounds=rounds, counter0=counter0)
+        # off-TPU the stride-2 major slice is fine (and interpret-mode
+        # pallas would be slower, not faster)
+        return bw, bw[0::2, :], bw[1::2, :]
+    return _keystream_pallas(nblocks, key_byte=key_byte, nonce=nonce,
+                             rounds=rounds, counter0=counter0,
+                             interpret=(impl == "pallas-interpret"),
+                             with_u64=True)
+
+
+def block_words_u64_planes(lo8: jax.Array, hi8: jax.Array, start: int,
+                           count: int) -> jax.Array:
+    """`count` little-endian u64 lanes from block-aligned byte offset
+    `start`, from keystream_block_words64's pre-paired limb planes —
+    the fast path replacing block_words_u64's minor de-interleave."""
+    assert start % 64 == 0 and count % 8 == 0
+    blk0 = start // 64
+    nb = count // 8
+    lo = jax.lax.slice_in_dim(lo8, blk0, blk0 + nb, axis=1)
+    hi = jax.lax.slice_in_dim(hi8, blk0, blk0 + nb, axis=1)
+
+    def flat(p):
+        # target order: u64 lane k = b*8 + j from p[j, b]; with
+        # b = g*128 + l the (8, G, 128) -> (G, 128, 8) permutation is
+        # the same fast form as _tiled_T
+        if nb % 128 == 0:
+            G = nb // 128
+            return p.reshape(8, G, 128).transpose(1, 2, 0).reshape(-1)
+        return p.T.reshape(-1)
+
+    return flat(lo).astype(U64) | (flat(hi).astype(U64) << U64(32))
 
 
 def block_words_u64(bw: jax.Array, start: int, count: int) -> jax.Array:

@@ -364,13 +364,13 @@ def keygen_draws(n: int, r: int, ms: modmath.ModulusSet,
     "fp64" (the reference's exact double-precision semantics, emulated
     bit-for-bit — uniform_ref)."""
     nbytes = keygen_entropy_bytes(n, r)
-    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
-                                       key_byte=key_byte,
-                                       nonce=keygen_nonce(nonce),
-                                       impl=ks_impl)
+    bw, lo8, hi8 = salsa20.keystream_block_words64(
+        (nbytes + 63) // 64, key_byte=key_byte,
+        nonce=keygen_nonce(nonce), impl=ks_impl)
     s = ternary(salsa20.block_words_u8(bw, 0, n), ms)
     ufn = uniform_ref if uniform_spec == "fp64" else uniform
-    a = ufn(salsa20.block_words_u64(bw, n, r * n).reshape(r, n), ms)
+    a = ufn(salsa20.block_words_u64_planes(lo8, hi8, n, r * n)
+            .reshape(r, n), ms)
     e = gaussian(salsa20.block_words_u32(bw, n + 8 * r * n, n), ms)
     return s, a, e
 
@@ -414,13 +414,13 @@ def keygen_draws_compact(n: int, r: int, ms: modmath.ModulusSet,
     e_d (n,) i32).  Same keystream bytes and layout; s/e residue mapping
     deferred to the fused kernel (ternary_int/gaussian_int docstrings)."""
     nbytes = keygen_entropy_bytes(n, r)
-    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
-                                       key_byte=key_byte,
-                                       nonce=keygen_nonce(nonce),
-                                       impl=ks_impl)
+    bw, lo8, hi8 = salsa20.keystream_block_words64(
+        (nbytes + 63) // 64, key_byte=key_byte,
+        nonce=keygen_nonce(nonce), impl=ks_impl)
     s_b = ternary_int(salsa20.block_words_u8(bw, 0, n))
     ufn = uniform_ref if uniform_spec == "fp64" else uniform
-    a = ufn(salsa20.block_words_u64(bw, n, r * n).reshape(r, n), ms)
+    a = ufn(salsa20.block_words_u64_planes(lo8, hi8, n, r * n)
+            .reshape(r, n), ms)
     e_d = gaussian_int(salsa20.block_words_u32(bw, n + 8 * r * n, n))
     return s_b, a, e_d
 
@@ -507,14 +507,13 @@ def relin_draws(n: int, r: int, k: int, ms: modmath.ModulusSet, nonce=0,
     u64 lanes start at byte j*(8rn+4n), its gaussian u32 lanes at
     j*(8rn+4n) + 8rn — one keystream call for all keys."""
     nbytes = relin_entropy_bytes(n, r, k)
-    bw = salsa20.keystream_block_words((nbytes + 63) // 64,
-                                       key_byte=RELIN_KEY_BYTE,
-                                       nonce=keygen_nonce(nonce),
-                                       impl=ks_impl)
+    bw, lo8, hi8 = salsa20.keystream_block_words64(
+        (nbytes + 63) // 64, key_byte=RELIN_KEY_BYTE,
+        nonce=keygen_nonce(nonce), impl=ks_impl)
     stride = 8 * r * n + 4 * n
     a = jnp.stack([
-        uniform(salsa20.block_words_u64(bw, j * stride, r * n).reshape(r, n),
-                ms)
+        uniform(salsa20.block_words_u64_planes(lo8, hi8, j * stride, r * n)
+                .reshape(r, n), ms)
         for j in range(k)])
     e = jnp.stack([
         gaussian(salsa20.block_words_u32(bw, j * stride + 8 * r * n, n), ms)
@@ -545,14 +544,12 @@ def galois_draws(n: int, r: int, k: int, elts, ms: modmath.ModulusSet,
     nonce_eff = keygen_nonce(nonce)
     a_rows, e_rows = [], []
     for g in elts:
-        bw = salsa20.keystream_block_words(region,
-                                           key_byte=GALOIS_KEY_BYTE,
-                                           nonce=nonce_eff,
-                                           counter0=int(g) * region,
-                                           impl=ks_impl)
+        bw, lo8, hi8 = salsa20.keystream_block_words64(
+            region, key_byte=GALOIS_KEY_BYTE, nonce=nonce_eff,
+            counter0=int(g) * region, impl=ks_impl)
         a_rows.append(jnp.stack([
-            uniform(salsa20.block_words_u64(
-                bw, j * stride, r * n).reshape(r, n), ms)
+            uniform(salsa20.block_words_u64_planes(
+                lo8, hi8, j * stride, r * n).reshape(r, n), ms)
             for j in range(k)]))
         e_rows.append(jnp.stack([
             gaussian(salsa20.block_words_u32(
