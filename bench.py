@@ -525,10 +525,15 @@ def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
     # tables blow the relay's remote-compile upload limit (HTTP 413)
     mul_fn, sq_fn, bundles = ctx.mult_program()
 
+    # ct2 / gk ride as runtime buffers, NOT closure constants: a (2, r-1,
+    # n) literal at 32k inflates each module by ~4.7 MB of constants,
+    # which the relay re-uploads per compile/load — the mult section
+    # measured ~900 s wall with them inlined even against a warm
+    # compile cache
     @jax.jit
-    def mul_step(c, k, rl, bz):
+    def mul_step(c, k, ct2x, rl, bz):
         def body(_, cc):
-            return mul_fn(cc, ct2, rl, bz)
+            return mul_fn(cc, ct2x, rl, bz)
         return jax.lax.fori_loop(0, k, body, c)
 
     @jax.jit
@@ -542,9 +547,9 @@ def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
     ct2b = jnp.broadcast_to(ct2, (J,) + ct2.shape)
 
     @jax.jit
-    def mul_batch_step(c, k, rl, bz):
+    def mul_batch_step(c, k, ct2bx, rl, bz):
         def body(_, cc):
-            return mul_fn(cc, ct2b, rl, bz)
+            return mul_fn(cc, ct2bx, rl, bz)
         return jax.lax.fori_loop(0, k, body, c)
 
     # Galois rotation (rotate_rows by 1): the batching workload's hot op
@@ -567,16 +572,16 @@ def _bench_bfv_mult_one(bfv, get_bfv_params, profiling, jax, jnp, name):
 
     hi = max(16, (1 << 22) // (n * r))
     kw = dict(inner_lo=max(2, hi // 8), inner_hi=hi, reps=3, epochs=3)
-    t_mul = profiling.time_chained_dynamic(mul_step, ct1, rlk, bundles,
-                                           **kw)
+    t_mul = profiling.time_chained_dynamic(mul_step, ct1, ct2, rlk,
+                                           bundles, **kw)
     t_sq = profiling.time_chained_dynamic(sq_step, ct1, rlk, bundles,
                                           **kw)
     t_rot = profiling.time_chained_dynamic(rot_step, ct1, gk, bundles,
                                            **kw)
     hij = max(4, hi // J)
     t_mb = profiling.time_chained_dynamic(
-        mul_batch_step, ct1b, rlk, bundles, inner_lo=max(2, hij // 8),
-        inner_hi=hij, reps=3, epochs=3)
+        mul_batch_step, ct1b, ct2b, rlk, bundles,
+        inner_lo=max(2, hij // 8), inner_hi=hij, reps=3, epochs=3)
     if min(t_mul, t_sq, t_rot, t_mb) <= 0:
         raise RuntimeError("degenerate slope")
     row = {
